@@ -1,0 +1,83 @@
+"""Benchmark harness — run headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workload (the north_rule metric surface):
+  * index_build   — full BM25 weight pipeline over documents, materialized
+  * bm25_topk     — batch of queries answered via broadcast join + top-k
+  * tokenize      — raw tokenizer throughput (JVM expression path)
+
+Run the scaling study with scripts/bench_scale.py (local[8] vs
+local[32] on identical synthetic input → BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from neural_cherche_spark.session import get_spark
+    from neural_cherche_spark.index import bm25_weights
+    from neural_cherche_spark.query import retrieve_exact
+    from neural_cherche_spark.text.ngrams import ngram_terms_column
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    # q1: index build (tokenize -> tf -> stats -> weights), materialized
+    t0 = time.perf_counter()
+    w = bm25_weights(docs)
+    w.write.mode("overwrite").parquet("/tmp/bench_weights.parquet")
+    timings["index_build"] = time.perf_counter() - t0
+    w_stored = spark.read.parquet("/tmp/bench_weights.parquet")
+    n_postings = w_stored.count()
+
+    # q2: BM25 top-10 for the literal query batch
+    queries = entry_mod._queries_df(spark)
+    n_queries = queries.count()
+    t0 = time.perf_counter()
+    res = retrieve_exact(w_stored, queries, k=10)
+    rows = res.collect()
+    timings["bm25_topk"] = time.perf_counter() - t0
+
+    # q3: tokenizer throughput (JVM expression, no Python)
+    t0 = time.perf_counter()
+    docs.select(F.explode(ngram_terms_column("text")).alias("t")).count()
+    timings["tokenize"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "bm25_engine_e2e",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "n_queries": n_queries,
+        "n_results": len(rows),
+        "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
+        "qps_topk": round(n_queries / timings["bm25_topk"], 2),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Posting-list codec: delta-gap + varint docIDs, float32 weights,
+per-block max-score — pure vectorized numpy (no per-element Python).
+
+This is the custom data layout Spark has no primitive for (SURVEY §4
+item 1): the reference keeps a scipy CSR matrix in RAM; at 10^12 docs
+the equivalent is compressed binary posting blocks stored as parquet
+``binary`` columns, built inside ``applyInPandas`` per term partition.
+
+Format per block (≤ ``block_size`` postings, doc_ids strictly
+ascending):
+  * ``docs``  — varint(delta-gaps): first value is doc_id[0]+1, then
+    gaps (always ≥1); +1 keeps every varint nonzero.
+  * ``ws``    — raw little-endian float32 weights, same order.
+  * columns ``n``, ``first_doc``, ``last_doc``, ``max_w`` are block
+    metadata used for block-max pruning and range skipping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized (10 passes max)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # write position of each value's first byte
+    starts = np.zeros(v.shape, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[starts[mask] + j] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 buffer → uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id for each byte: number of completed values before it
+    gid = np.zeros(b.shape, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=gid[1:])
+    # position within group
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[gid]
+    vals = np.zeros(int(is_last.sum()), dtype=np.uint64)
+    np.add.at(
+        vals, gid, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    )
+    return vals
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, weights: np.ndarray, block_size: int = BLOCK_SIZE
+) -> list[tuple[int, int, int, int, float, bytes, bytes]]:
+    """Split one posting list into compressed blocks.
+
+    Returns rows ``(block_id, n, first_doc, last_doc, max_w, docs, ws)``.
+    ``doc_ids`` must be strictly ascending int64.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float32)
+    rows = []
+    for bi, off in enumerate(range(0, doc_ids.size, block_size)):
+        d = doc_ids[off : off + block_size]
+        w = weights[off : off + block_size]
+        gaps = np.empty(d.shape, dtype=np.uint64)
+        gaps[0] = np.uint64(d[0] + 1)
+        if d.size > 1:
+            gaps[1:] = np.diff(d).astype(np.uint64)
+        rows.append(
+            (
+                bi,
+                int(d.size),
+                int(d[0]),
+                int(d[-1]),
+                float(w.max()) if w.size else 0.0,
+                varint_encode(gaps),
+                w.tobytes(),
+            )
+        )
+    return rows
+
+
+def decode_block(docs: bytes, ws: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of one encode_blocks row → (doc_ids int64, weights f32)."""
+    gaps = varint_decode(docs).astype(np.int64)
+    if gaps.size:
+        gaps[0] -= 1
+    doc_ids = np.cumsum(gaps)
+    weights = np.frombuffer(ws, dtype=np.float32)
+    return doc_ids, weights

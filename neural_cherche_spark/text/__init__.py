@@ -1,0 +1,6 @@
+from neural_cherche_spark.text.ngrams import (  # noqa: F401
+    char_wb_ngrams,
+    ngram_terms_column,
+    tokenize_terms,
+    word_tokens_column,
+)
