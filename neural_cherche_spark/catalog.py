@@ -1,0 +1,80 @@
+"""Iceberg-shaped catalog over parquet directories.
+
+No Iceberg runtime jar ships in this sandbox (no network), so the
+index is stored as a directory of parquet tables plus a JSON manifest
+that plays the role of an Iceberg snapshot: table locations, build
+fingerprints, per-stage completion markers. Swapping in real Iceberg
+(``df.writeTo(...)``, ``MERGE INTO``) is a config change at the call
+sites in index/builder.py — the layout below mirrors an Iceberg
+table's data/metadata split on purpose (SURVEY §7 environment note).
+
+Layout of one index:
+
+    <index_dir>/
+      manifest.json     — snapshot: cfg, fingerprints, stage status
+      docmap/           — (doc_id, url, dl)
+      termdict/         — (term, term_id, tf_total, df, idf, n_salts, max_w)
+      postings/         — bucket=*/...: compressed blocks (index/codec.py)
+      lineage/          — per-bucket build metrics (checkpoint-resume)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class Manifest:
+    """Snapshot metadata for one built index."""
+
+    version: int = 1
+    cfg: dict = field(default_factory=dict)
+    input_fingerprint: str = ""
+    n_docs: int = 0
+    avgdl: float = 0.0
+    n_terms: int = 0
+    n_postings: int = 0
+    n_buckets: int = 0
+    stages: dict = field(default_factory=dict)  # stage -> {"done": ..., "wall_s": ...}
+    created_unix: float = 0.0
+
+
+class IndexCatalog:
+    """Path resolution + manifest persistence for one index dir."""
+
+    TABLES = ("docmap", "termdict", "postings", "lineage")
+
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.index_dir, table)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "manifest.json")
+
+    def load_manifest(self) -> Manifest | None:
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            return Manifest(**json.load(f))
+
+    def save_manifest(self, m: Manifest) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        m.created_unix = m.created_unix or time.time()
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(m), f, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def stage_done(self, m: Manifest | None, stage: str, fingerprint: str) -> bool:
+        """A stage is resumable-skippable iff the manifest records it
+        complete for the SAME input fingerprint and its table exists."""
+        if m is None or m.input_fingerprint != fingerprint:
+            return False
+        info = m.stages.get(stage)
+        return bool(info and info.get("done")) and os.path.exists(self.path(stage))

@@ -1,0 +1,328 @@
+"""Distributed inverted-index builder: doc-partitioned weight
+computation → term-partitioned shuffle-merge → compressed posting
+blocks, with salted head-term skew handling, per-bucket lineage, and
+checkpoint-resume.
+
+The scalable re-expression of the reference's ``add()`` accumulator
+(retrieve/bm25.py:146-197): where the reference hstacks CSR columns in
+RAM, this writes an on-disk index an executor fleet can build and
+query at 10^12-doc scale.
+
+Pipeline (stage names = resumable checkpoints in manifest.json):
+
+  docmap    docs → (doc_id, url, dl); doc_id taken from the input when
+            present, else assigned deterministically (zipWithIndex over
+            a url range-sort — reproducible for resume/rank-identity).
+  termdict  term → dense term_id (zipWithIndex over term sort), stats
+            (tf_total, df, idf), salt count for head terms.
+  postings  BM25 weights → repartition by (term_id, salt) hash bucket
+            → applyInPandas per bucket: sort, delta-gap, varint, f32
+            weights, per-block max/min score (index/codec.py) →
+            parquet partitioned by bucket (query-side pruning).
+  lineage   per-bucket metrics (terms, blocks, postings, bytes,
+            encode ms) — the "metrics table" of the north_rule.
+
+Skew: a zipfian head gram's posting list is split across
+``n_salts = ceil(df / salt_every)`` sub-lists, each a doc-sorted run,
+so no single reducer/group sees a whole stopword list. Salt spreads
+across buckets via xxhash64(term_id, salt).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from neural_cherche_spark.catalog import IndexCatalog, Manifest
+from neural_cherche_spark.index.build import (
+    BM25Config,
+    collection_stats,
+    doc_lengths,
+    term_frequencies,
+    term_stats,
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("term_id", LongType()),
+        StructField("salt", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_w", DoubleType()),
+        StructField("min_w", DoubleType()),
+        StructField("docs", BinaryType()),
+        StructField("ws", BinaryType()),
+        StructField("enc_ms", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class BuildReport:
+    n_docs: int
+    n_terms: int
+    n_postings: int
+    wall_s: dict
+
+
+def _zip_with_index(df: DataFrame, order_col: str, id_name: str) -> DataFrame:
+    """Deterministic dense int64 ids: range-sort by ``order_col`` then
+    zipWithIndex (two-pass, no single-reducer window)."""
+    parts = df.rdd.getNumPartitions()
+    ordered = df.repartitionByRange(max(parts, 1), order_col).sortWithinPartitions(
+        order_col
+    )
+    schema = ordered.schema.add(id_name, LongType(), False)
+    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return ordered.sparkSession.createDataFrame(rdd, schema)
+
+
+def _fingerprint(docs: DataFrame, id_col: str) -> str:
+    """Order-independent cheap input fingerprint: count + xor/sum of
+    per-row hashes. Computed distributed, one pass."""
+    # decimal(38,0) accumulator: sum of int64 hashes over 10^12 rows
+    # stays in range (ANSI mode would overflow a long sum)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def _encode_bucket_fn(block_size: int):
+    """applyInPandas fn: encode one bucket's (term_id, salt) runs."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from neural_cherche_spark.index.codec import encode_blocks
+
+        t0 = time.perf_counter()
+        pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0])
+        out: list[tuple] = []
+        tid = pdf["term_id"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        ws = pdf["w"].to_numpy().astype(np.float32)
+        # run boundaries where (term_id, salt) changes
+        change = np.flatnonzero((np.diff(tid) != 0) | (np.diff(salt) != 0)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [tid.size]))
+        for s, e in zip(starts, ends):
+            for bi, n, first, last, max_w, dbin, wbin in encode_blocks(
+                docs[s:e], ws[s:e], block_size
+            ):
+                out.append(
+                    (
+                        bucket,
+                        int(tid[s]),
+                        int(salt[s]),
+                        bi,
+                        n,
+                        first,
+                        last,
+                        max_w,
+                        float(ws[s:e].min()),
+                        dbin,
+                        wbin,
+                        0.0,
+                    )
+                )
+        ms = (time.perf_counter() - t0) * 1000.0
+        res = pd.DataFrame(out, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        res["enc_ms"] = ms
+        return res
+
+    return encode
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: BM25Config = BM25Config(),
+    text_col: str = "text",
+    id_col: str | None = None,
+    url_col: str = "url",
+    n_buckets: int | None = None,
+    block_size: int = 128,
+    salt_every: int = 50_000,
+    resume: bool = True,
+) -> "BM25Index":
+    """Build (or resume building) a compressed BM25 index on disk."""
+    from neural_cherche_spark.index.builder_weights import weights_from_tf
+
+    cat = IndexCatalog(index_dir)
+    walls: dict[str, float] = {}
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # ---- docmap ---------------------------------------------------------
+    if id_col is None:
+        docs_keyed = _zip_with_index(
+            docs.select(url_col, text_col), url_col, "doc_id"
+        )
+        key_out = url_col
+    else:
+        docs_keyed = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).cast("string").alias("url"),
+            text_col,
+        )
+        key_out = "url"
+    fingerprint = _fingerprint(docs_keyed, "doc_id")
+    manifest = cat.load_manifest() if resume else None
+
+    t0 = time.perf_counter()
+    tf = term_frequencies(docs_keyed, text_col, "doc_id", cfg.n_min, cfg.n_max)
+    dl = doc_lengths(tf)
+    if not cat.stage_done(manifest, "docmap", fingerprint):
+        (
+            docs_keyed.select("doc_id", key_out)
+            .join(dl, "doc_id", "left")
+            .na.fill({"dl": 0})
+            .write.mode("overwrite")
+            .parquet(cat.path("docmap"))
+        )
+    walls["docmap"] = time.perf_counter() - t0
+
+    # ---- stats + termdict ----------------------------------------------
+    t0 = time.perf_counter()
+    stats_row = collection_stats(dl).collect()[0]
+    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    if not cat.stage_done(manifest, "termdict", fingerprint):
+        ts = term_stats(tf).withColumn(
+            "idf",
+            F.log(
+                (F.lit(n_docs) - F.col("tf_total") + 0.5) / (F.col("tf_total") + 0.5)
+                + 1.0
+            ),
+        )
+        ts = ts.withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("df") / F.lit(salt_every)).cast("int")
+            ),
+        )
+        termdict = _zip_with_index(ts, "term", "term_id")
+        termdict.write.mode("overwrite").parquet(cat.path("termdict"))
+    walls["termdict"] = time.perf_counter() - t0
+    termdict = spark.read.parquet(cat.path("termdict"))
+    n_terms = termdict.count()
+
+    # ---- postings -------------------------------------------------------
+    t0 = time.perf_counter()
+    if not cat.stage_done(manifest, "postings", fingerprint):
+        w = weights_from_tf(tf, dl, termdict, n_docs, avgdl, cfg)
+        salted = (
+            w.withColumn(
+                "salt",
+                F.when(
+                    F.col("n_salts") > 1,
+                    F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_buckets)).cast("int"),
+            )
+            .select("bucket", "term_id", "salt", "doc_id", "w")
+        )
+        (
+            salted.repartition(n_buckets, "bucket")
+            .groupBy("bucket")
+            .applyInPandas(_encode_bucket_fn(block_size), POSTINGS_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(cat.path("postings"))
+        )
+    walls["postings"] = time.perf_counter() - t0
+    postings = spark.read.parquet(cat.path("postings"))
+
+    # ---- lineage (per-bucket metrics table) ------------------------------
+    t0 = time.perf_counter()
+    if not cat.stage_done(manifest, "lineage", fingerprint):
+        (
+            postings.groupBy("bucket")
+            .agg(
+                F.countDistinct("term_id").alias("n_terms"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                (F.sum(F.length("docs")) + F.sum(F.length("ws"))).alias("bytes"),
+                F.max("enc_ms").alias("enc_ms"),
+                F.lit(fingerprint).alias("input_fingerprint"),
+            )
+            .write.mode("overwrite")
+            .parquet(cat.path("lineage"))
+        )
+    walls["lineage"] = time.perf_counter() - t0
+
+    n_postings = postings.agg(F.sum("n")).collect()[0][0] or 0
+    m = Manifest(
+        cfg={
+            "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,
+            "n_min": cfg.n_min, "n_max": cfg.n_max,
+            "block_size": block_size, "salt_every": salt_every,
+        },
+        input_fingerprint=fingerprint,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_terms=n_terms,
+        n_postings=int(n_postings),
+        n_buckets=n_buckets,
+        stages={
+            s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
+            for s in ("docmap", "termdict", "postings", "lineage")
+        },
+    )
+    cat.save_manifest(m)
+    return BM25Index(spark, index_dir)
+
+
+class BM25Index:
+    """Handle over a built on-disk index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.manifest = self.cat.load_manifest()
+        if self.manifest is None:
+            raise FileNotFoundError(f"no manifest at {index_dir}")
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path("postings"))
+
+    @property
+    def termdict(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path("termdict"))
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path("docmap"))
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.path("lineage"))
+
+    def search(self, queries: DataFrame, k: int = 10, mode: str = "bmw") -> DataFrame:
+        from neural_cherche_spark.query.bmw import search_index
+
+        return search_index(self, queries, k=k, mode=mode)

@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Catalyst expressions; cross-engine
+determinism (for the DuckDB oracle) comes from md5-based hashing —
+both engines produce identical md5 hex, so min-hash signatures and
+band keys agree bit-for-bit.
+
+Scale notes:
+* exact dedup — one hash-shuffle on the digest; trivially scales.
+* minhash-LSH — the standard shingle→signature→band→bucket-join
+  pipeline: candidate generation touches only same-band pairs, never
+  the n² cross product. Signature build is one groupBy(doc) after an
+  explode(seeds) — seeds are a tiny literal array, so the explode
+  multiplies rows by num_hashes BEFORE the shuffle; at 10^12 docs
+  pick num_hashes ≤ 32 and let AQE coalesce.
+* n-gram Jaccard — exact pair scoring; intended for verifying LSH
+  candidates (pairs list is small), not for all-pairs at scale.
+* simhash — per-doc 32-bit fingerprint via bit-vote aggregation;
+  near-dup = small Hamming distance (query via xor+popcount).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.text.ngrams import word_tokens_column
+
+
+def word_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles, JVM-side."""
+    words = word_tokens_column(text_col)
+    shingle_expr = (
+        f"transform(sequence(1, greatest(size(__words) - {n - 1}, 0)), "
+        f"i -> array_join(slice(__words, i, {n}), ' '))"
+    )
+    return (
+        docs.select(F.col(id_col), words.alias("__words"))
+        .select(id_col, F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content hash
+    with group size and canonical (min) member."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, seed, minhash) — minhash as the lexicographic min of
+    md5(shingle || ':' || seed): engine-portable and uniform."""
+    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
+    return (
+        shingles.select(id_col, "shingle", seeds)
+        .withColumn(
+            "h", F.md5(F.concat_ws(":", F.col("shingle"), F.col("seed")))
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing ≥1 LSH
+    band key. rows_per_band = num_hashes / bands."""
+    rpb = num_hashes // bands
+    band_keys = (
+        signatures.withColumn("band", (F.col("seed") / rpb).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.concat_ws("=", "seed", "minhash")))
+                )
+            ).alias("band_key")
+        )
+    )
+    a = band_keys.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over word n-gram shingle sets, for all
+    pairs sharing ≥1 shingle. Exact scoring — at scale run it on LSH
+    candidates, not the raw corpus."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash over word tf.
+
+    Word hash = first 8 md5 hex chars as int (engine-portable); each
+    bit votes +tf/−tf; fingerprint sets bits with positive vote.
+    """
+    words = (
+        docs.select(F.col(id_col), F.explode(word_tokens_column(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
+    )
+    bitrows = words.select(
+        id_col,
+        "tf",
+        "h",
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, F.col("tf"))
+        .otherwise(-F.col("tf")),
+    )
+    return (
+        bitrows.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "contrib",
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").cast("long").alias("simhash"))
+    )

@@ -1,0 +1,250 @@
+"""Query answering over the compressed postings index.
+
+Two physical strategies, both rank-identical to the exact join+agg
+path (tests pin this):
+
+``mode="distributed"`` — decode-and-score, fully distributed:
+    postings (bucket-pruned, term-filtered scan)
+      ⋈ BROADCAST(query terms)                 — no shuffle of postings
+      → mapInPandas: decode blocks, partial (query_id, doc_id, score)
+        pre-aggregated per Arrow batch          — Python only here
+      → groupBy(query_id, doc_id).sum → top-k   — one small shuffle
+    No per-group materialization: safe for arbitrarily long posting
+    lists (the group-OOM-free path at 10^12 docs).
+
+``mode="bmw"`` — block-max pruned, per-query group:
+    same pruned scan ⋈ broadcast(query terms)
+      → groupBy(query_id).applyInPandas(block-max top-k)
+    Processes blocks in descending upper-bound (qtf·max_w) order,
+    maintains the running k-th score θ, and stops admitting new docs
+    once the残 upper bound can't reach θ; remaining blocks are decoded
+    only for surviving candidates (np.isin mask). Correct only when
+    every matched term has idf ≥ 0 (weights all non-negative — the
+    normal case on real corpora); groups with any negative-idf term
+    fall back to exact vectorized scoring, so results are ALWAYS
+    exact. This is the SURVEY §4.2 "block-max WAND" realized as
+    vectorized two-phase pruning (a Python pointer-chasing DAAT loop
+    would be slower than numpy phase-scoring at batch sizes).
+
+Bucket pruning: the builder spreads (term_id, salt) over parquet
+``bucket=`` partitions by xxhash64; the query side recomputes the
+exact bucket set for its terms IN SPARK (same hash), so the parquet
+scan prunes directories and row-groups (PushedFilters on bucket +
+term_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from neural_cherche_spark.query.exact import query_term_counts
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _query_terms(index, queries: DataFrame) -> DataFrame:
+    """(query_id, term_id, qtf, idf, n_salts) for matched terms only
+    (frozen-vocabulary semantics: unmatched terms drop, tfidf.py:134)."""
+    cfg = index.manifest.cfg
+    qt = query_term_counts(
+        queries, n_min=int(cfg["n_min"]), n_max=int(cfg["n_max"])
+    )
+    td = index.termdict.select("term", "term_id", "idf", "n_salts")
+    return td.join(F.broadcast(qt), "term").select(
+        "query_id", "term_id", "qtf", "idf", "n_salts"
+    )
+
+
+def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
+    """Bucket- and term-pruned postings scan."""
+    n_buckets = index.manifest.n_buckets
+    pairs = (
+        qterms.select("term_id", "n_salts")
+        .distinct()
+        .select(
+            "term_id",
+            F.explode(F.expr("sequence(0, n_salts - 1)")).alias("salt"),
+        )
+        .select(
+            "term_id",
+            F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .collect()
+    )
+    buckets = sorted({r["bucket"] for r in pairs})
+    term_ids = sorted({r["term_id"] for r in pairs})
+    return index.postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed decode-and-score
+# ---------------------------------------------------------------------------
+def _decode_score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from neural_cherche_spark.index.codec import decode_block
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        qids, dids, scores = [], [], []
+        for qid, qtf, docs_bin, ws_bin in zip(
+            pdf["query_id"], pdf["qtf"], pdf["docs"], pdf["ws"]
+        ):
+            d, w = decode_block(docs_bin, ws_bin)
+            qids.append(np.full(d.size, qid, dtype=np.int64))
+            dids.append(d)
+            scores.append(w.astype(np.float64) * float(qtf))
+        out = pd.DataFrame(
+            {
+                "query_id": np.concatenate(qids),
+                "doc_id": np.concatenate(dids),
+                "score": np.concatenate(scores),
+            }
+        )
+        # partial map-side combine inside the batch
+        yield out.groupby(["query_id", "doc_id"], sort=False, as_index=False)[
+            "score"
+        ].sum()
+
+
+def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
+    qterms = _query_terms(index, queries)
+    joined = _pruned_postings(index, qterms).join(
+        F.broadcast(qterms.select("query_id", "term_id", "qtf")), "term_id"
+    )
+    partial = joined.select("query_id", "qtf", "docs", "ws").mapInPandas(
+        _decode_score_iter, _SCORE_SCHEMA
+    )
+    scored = (
+        partial.groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# block-max pruned per-query scoring
+# ---------------------------------------------------------------------------
+def _accumulate(doc_arrays, score_arrays):
+    docs = np.concatenate(doc_arrays)
+    scores = np.concatenate(score_arrays)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    return uniq, np.bincount(inv, weights=scores)
+
+
+def _bmw_group_fn(k: int):
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from neural_cherche_spark.index.codec import decode_block
+
+        qid = int(pdf["query_id"].iloc[0])
+        qtf = pdf["qtf"].to_numpy(dtype=np.float64)
+        ub = qtf * pdf["max_w"].to_numpy(dtype=np.float64)
+        prunable = bool((pdf["idf"].to_numpy() >= 0).all())
+
+        order = np.argsort(-ub, kind="mergesort")
+        docs_col = pdf["docs"].to_numpy()
+        ws_col = pdf["ws"].to_numpy()
+
+        d_acc: list[np.ndarray] = []
+        s_acc: list[np.ndarray] = []
+        processed = np.zeros(len(pdf), dtype=bool)
+
+        def decode_into(idx_list, doc_filter=None):
+            for i in idx_list:
+                d, w = decode_block(docs_col[i], ws_col[i])
+                s = w.astype(np.float64) * qtf[i]
+                if doc_filter is not None:
+                    m = np.isin(d, doc_filter)
+                    d, s = d[m], s[m]
+                if d.size:
+                    d_acc.append(d)
+                    s_acc.append(s)
+                processed[i] = True
+
+        if not prunable:
+            decode_into(order)
+        else:
+            chunk = max(64, 4 * k)
+            pos = 0
+            while pos < order.size:
+                decode_into(order[pos : pos + chunk])
+                pos += chunk
+                if not d_acc:
+                    continue
+                uniq, sums = _accumulate(d_acc, s_acc)
+                if uniq.size >= k:
+                    theta = np.partition(sums, -k)[-k]
+                    remaining_ub = float(ub[order[pos:]].sum())
+                    if remaining_ub < theta:
+                        # no unseen doc can reach top-k; finish exact
+                        # scores for surviving candidates only
+                        cand = uniq[sums + remaining_ub >= theta]
+                        decode_into(order[pos:], doc_filter=cand)
+                        break
+        if not d_acc:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        uniq, sums = _accumulate(d_acc, s_acc)
+        pos_mask = sums > 0
+        uniq, sums = uniq[pos_mask], sums[pos_mask]
+        if uniq.size > k:
+            # deterministic cut: score desc, doc_id asc — must match the
+            # exact path's tie-break so rank-identity holds under ties
+            cut = np.lexsort((uniq, -sums))[:k]
+            uniq, sums = uniq[cut], sums[cut]
+        return pd.DataFrame(
+            {"query_id": qid, "doc_id": uniq, "score": sums}
+        )
+
+    return score_group
+
+
+def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
+    qterms = _query_terms(index, queries)
+    joined = _pruned_postings(index, qterms).join(
+        F.broadcast(qterms.select("query_id", "term_id", "qtf", "idf")), "term_id"
+    )
+    scored = (
+        joined.select("query_id", "qtf", "idf", "max_w", "docs", "ws")
+        .groupBy("query_id")
+        .applyInPandas(_bmw_group_fn(k), _SCORE_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def search_index(index, queries: DataFrame, k: int = 10, mode: str = "bmw") -> DataFrame:
+    if mode == "bmw":
+        return search_bmw(index, queries, k)
+    if mode == "distributed":
+        return search_distributed(index, queries, k)
+    raise ValueError(f"unknown mode {mode!r}")
