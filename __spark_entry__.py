@@ -211,6 +211,136 @@ def _q_field_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data-pipeline ops (dedup / ANN / text analysis)
+# ---------------------------------------------------------------------------
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "content_hash",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        "canonical_id",
+    )
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(_docs(spark, sf_dir), n=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    return lsh_candidate_pairs(sig, bands=4, num_hashes=16)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=32)
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.ann import cosine_scores
+    from pyspark.sql import Window
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = cosine_scores(vecs).withColumn("cos", F.round("cos", 6))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.ann import lsh_cosine_scores
+    from pyspark.sql import Window
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = lsh_cosine_scores(vecs, n_planes=8, seed=42).withColumn(
+        "cos", F.round("cos", 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.text.analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.text.analysis import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.text.analysis import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.text.analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# shared DuckDB CTE: lowercased non-empty word lists per doc
+_DUCK_WORDS = r"""
+dwords AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS w
+  FROM documents
+)
+"""
+
+_EN = "['the','of','and','to','in','is','that','for','with','was']"
+_FR = "['le','la','les','de','des','et','un','une','est','que']"
+_DE = "['der','die','das','und','ist','von','mit','ein','eine','nicht']"
+_ES = "['el','la','los','las','de','y','que','es','en','por']"
+
+_DUCK_SHINGLES = rf"""
+{_DUCK_WORDS},
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+  FROM dwords, LATERAL unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)
+)
+"""
+
+_DUCK_COS_PAIRS = """
+e AS (SELECT vec_id, embedding AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE))) AS nr
+  FROM e
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -227,6 +357,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_weights": _q_bm25_weights,
         "bm25_topk": _q_bm25_topk,
         "field_concat": _q_field_concat,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_count": _q_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -283,5 +423,176 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    concat(coalesce(source, ''), ' ', coalesce(text, '')) AS joined
             FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_DUCK_SHINGLES},
+            mh AS (
+              SELECT doc_id, seed, min(md5(shingle || ':' || seed)) AS minhash
+              FROM shingles, LATERAL unnest(range(0, 16)) AS s(seed)
+              GROUP BY 1, 2
+            ),
+            bands AS (
+              SELECT doc_id, (seed // 4)::INT AS band,
+                     md5(string_agg(seed || '=' || minhash, '|'
+                         ORDER BY seed || '=' || minhash)) AS band_key
+              FROM mh GROUP BY 1, 2
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "ngram_jaccard": f"""
+            WITH {_DUCK_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "simhash": f"""
+            WITH {_DUCK_WORDS},
+            wtf AS (
+              SELECT doc_id, uw.x AS word, count(*) AS tf
+              FROM dwords, LATERAL unnest(w) AS uw(x)
+              GROUP BY 1, 2
+            ),
+            h AS (
+              SELECT doc_id, tf,
+                     ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+              FROM wtf
+            ),
+            bits AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+              FROM h, LATERAL unnest(range(0, 32)) AS b(bit)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit::INT ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1
+        """,
+        "ann_cosine_topk": f"""
+            WITH {_DUCK_COS_PAIRS},
+            scored AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(a.v) + 1),
+                                i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                       / (a.nr * b.nr), 6) AS cos
+              FROM nrm a, nrm b
+              WHERE a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, cos,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_DUCK_COS_PAIRS},
+            plane_dots AS (
+              SELECT n.vec_id, up.p,
+                     sum(n.v[(ud.d + 1)::INT]::DOUBLE *
+                         ((('0x' || substr(md5('42:' || up.p || ':' || ud.d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS pd
+              FROM nrm n,
+                   LATERAL unnest(range(0, 8)) AS up(p),
+                   LATERAL unnest(range(0, len(n.v))) AS ud(d)
+              GROUP BY 1, 2
+            ),
+            sigv AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN pd > 0 THEN 1::BIGINT << p::INT ELSE 0 END) AS BIGINT) AS s
+              FROM plane_dots GROUP BY 1
+            ),
+            sig AS (SELECT nrm.vec_id, v, nr, s FROM nrm JOIN sigv USING (vec_id)),
+            scored AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(a.v) + 1),
+                                i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                       / (a.nr * b.nr), 6) AS cos
+              FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "lang_id": f"""
+            WITH {_DUCK_WORDS},
+            hits AS (
+              SELECT doc_id,
+                     len(list_filter(w, x -> list_contains({_DE}, x))) AS h_de,
+                     len(list_filter(w, x -> list_contains({_EN}, x))) AS h_en,
+                     len(list_filter(w, x -> list_contains({_ES}, x))) AS h_es,
+                     len(list_filter(w, x -> list_contains({_FR}, x))) AS h_fr
+              FROM dwords
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   CAST(greatest(h_de, h_en, h_es, h_fr) AS BIGINT) AS best_hits
+            FROM hits
+        """,
+        "quality_score": f"""
+            WITH {_DUCK_WORDS},
+            m AS (
+              SELECT d.doc_id, d.text, w.w,
+                     len(w.w) AS n_words,
+                     CASE WHEN len(w.w) = 0 THEN 0.0
+                          ELSE list_sum(list_transform(w.w, x -> length(x)))::DOUBLE / len(w.w)
+                     END AS mwl,
+                     CASE WHEN len(w.w) = 0 THEN 0.0
+                          ELSE len(list_filter(w.w, x -> list_contains({_EN}, x)))::DOUBLE / len(w.w)
+                     END AS swr,
+                     CASE WHEN length(d.text) = 0 THEN 0.0
+                          ELSE (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(d.text)
+                     END AS pr
+              FROM documents d JOIN dwords w USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(swr, 6) AS stopword_ratio,
+                   round(pr, 6) AS punct_ratio,
+                   round(CASE WHEN n_words >= 10 AND mwl > 2 AND mwl < 12 AND pr < 0.3
+                              THEN 1.0 - pr ELSE 0.0 END, 6) AS quality
+            FROM m
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            WITH {_DUCK_WORDS}
+            SELECT doc_id,
+                   CAST(sum((('0x' || substr(md5(w[i]), 1, 8))::BIGINT % 2147483648) * i)
+                        % 2147483648 AS BIGINT) AS fingerprint
+            FROM dwords, LATERAL unnest(range(1, len(w) + 1)) AS u(i)
+            GROUP BY 1
         """,
     }

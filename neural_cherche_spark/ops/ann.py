@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_scores` / :func:`cosine_topk` — brute-force exact
+  cosine: the correctness baseline. Dot products are computed
+  JVM-side with ``aggregate(zip_with(...))`` — no Python in the pair
+  loop. Exact brute force is O(n²), meant for ≤10^5 vectors or as the
+  verifier of the scale path.
+* :func:`lsh_cosine_scores` / :func:`lsh_cosine_topk` — the scale
+  path: random-hyperplane LSH. Hyperplane coefficients derive from
+  md5 (deterministic and engine-portable: the DuckDB oracle
+  reproduces them exactly). Each vector gets an ``n_planes``-bit sign
+  signature; candidates share a signature; exact cosine is computed
+  only within buckets. At 10^9 vectors the bucket equi-join replaces
+  the n² cross product; recall is tuned by n_planes (and multi-probe/
+  multi-table variants at lower n_planes).
+
+Reference tie-in: the reference's neural retrievers do this shape of
+work on torch tensors (retrieve/colbert.py:210-214 dense top-k); here
+it is a distributed DataFrame op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# cast float elements to double BEFORE multiplying: float*float rounds
+# at 1e-8, which would both lose score precision and diverge from the
+# DuckDB oracle's double arithmetic
+def _norm_col(vec: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({vec}, 0.0D, "
+            f"(a, x) -> a + cast(x as double) * cast(x as double))"
+        )
+    )
+
+
+_DOT = (
+    "aggregate(zip_with(v, u, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0.0D, (a, x) -> a + x)"
+)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_scores(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos) for every ordered pair (self excluded)."""
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_col(vec_col).alias("nrm"),
+    )
+    other = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("u"),
+        F.col("nrm").alias("nrm_u"),
+    )
+    pairs = base.crossJoin(F.broadcast(other)).filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    return pairs.select(
+        "vec_id",
+        "neighbor_id",
+        (F.expr(_DOT) / (F.col("nrm") * F.col("nrm_u"))).alias("cos"),
+    )
+
+
+def cosine_topk(
+    vecs: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos, rank): exact top-k neighbors."""
+    return _rank_topk(cosine_scores(vecs, id_col, vec_col), k)
+
+
+def hyperplane_signature(
+    vec_col: str, n_planes: int = 8, seed: int = 42
+) -> F.Column:
+    """Deterministic random-hyperplane signature column: bit p = sign
+    of v·h_p, h_p[d] = (md5int('seed:p:d') % 2001 − 1000)/1000."""
+    plane_dot = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, d) -> x * (((cast(conv(substring(md5(concat('{seed}', ':', p, ':', d)), 1, 8), 16, 10) as bigint)) % 2001 - 1000) / 1000.0D)), "
+        f"0.0D, (a, x) -> a + x)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_planes - 1}), "
+        f"p -> IF({plane_dot} > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))), "
+        f"cast(0 as bigint), (a, x) -> a + x)"
+    )
+
+
+def lsh_cosine_scores(
+    vecs: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos) only for same-signature pairs."""
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_col(vec_col).alias("nrm"),
+        hyperplane_signature(vec_col, n_planes, seed).alias("sig"),
+    )
+    other = base.select(
+        F.col("sig").alias("sig"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("u"),
+        F.col("nrm").alias("nrm_u"),
+    )
+    pairs = base.join(other, "sig").filter(F.col("vec_id") != F.col("neighbor_id"))
+    return pairs.select(
+        "vec_id",
+        "neighbor_id",
+        (F.expr(_DOT) / (F.col("nrm") * F.col("nrm_u"))).alias("cos"),
+    )
+
+
+def lsh_cosine_topk(
+    vecs: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos, rank) within-bucket approximate top-k."""
+    return _rank_topk(lsh_cosine_scores(vecs, n_planes, seed, id_col, vec_col), k)

@@ -161,18 +161,16 @@ def simhash(
         "h",
         F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("bit"),
     ).withColumn(
+        # SQL expr: the Python shiftright() API only takes literal counts
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, F.col("tf"))
-        .otherwise(-F.col("tf")),
+        F.expr("IF((shiftright(h, bit) & 1) = 1, tf, -tf)"),
     )
     return (
         bitrows.groupBy(id_col, "bit")
         .agg(F.sum("vote").alias("v"))
         .withColumn(
             "contrib",
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.expr("IF(v > 0, shiftleft(cast(1 as bigint), bit), cast(0 as bigint))"),
         )
         .groupBy(id_col)
         .agg(F.sum("contrib").cast("long").alias("simhash"))

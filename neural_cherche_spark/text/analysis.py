@@ -1,0 +1,159 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen); every function
+has a DuckDB-oracle twin in __spark_entry__ — the hash primitives are
+md5-based so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.text.ngrams import word_tokens_column
+
+# tiny per-language stopword profiles (public common stopwords)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "nicht"],
+    "es": ["el", "la", "los", "las", "de", "y", "que", "es", "en", "por"],
+}
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pred_lang, best_hits) — argmax stopword-profile hits;
+    deterministic alphabetical tiebreak; 'und' (undetermined) when no
+    profile matches."""
+    words = word_tokens_column(text_col).alias("__w")
+    df = docs.select(F.col(id_col), words)
+    for lang, sw in sorted(LANG_PROFILES.items()):
+        arr = "array(" + ",".join(f"'{w}'" for w in sw) + ")"
+        df = df.withColumn(
+            f"hits_{lang}",
+            F.expr(f"size(filter(__w, x -> array_contains({arr}, x)))"),
+        )
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    # alphabetical order → first max wins deterministically
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        id_col, pred.alias("pred_lang"), best.cast("long").alias("best_hits")
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, stopword_ratio, punct_ratio,
+    quality) — simple composable heuristics (C4/Gopher-style)."""
+    en = "array(" + ",".join(f"'{w}'" for w in LANG_PROFILES["en"]) + ")"
+    df = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        word_tokens_column(text_col).alias("__w"),
+    )
+    n_words = F.expr("size(__w)")
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.expr(
+                    "IF(size(__w) = 0, 0.0D, "
+                    "aggregate(__w, 0.0D, (a, x) -> a + length(x)) / size(__w))"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.expr(
+                    f"IF(size(__w) = 0, 0.0D, "
+                    f"size(filter(__w, x -> array_contains({en}, x))) / CAST(size(__w) AS DOUBLE))"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.when(F.length("__t") == 0, 0.0).otherwise(
+                    (
+                        F.length("__t")
+                        - F.length(F.regexp_replace(F.col("__t"), r"[^\w\s]", ""))
+                    )
+                    / F.length("__t").cast("double")
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "quality",
+            F.round(
+                F.when(
+                    (F.col("n_words") >= 10)
+                    & (F.col("mean_word_len") > 2)
+                    & (F.col("mean_word_len") < 12)
+                    & (F.col("punct_ratio") < 0.3),
+                    1.0 - F.col("punct_ratio"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+        .select(
+            id_col, "n_words", "mean_word_len", "stopword_ratio",
+            "punct_ratio", "quality",
+        )
+    )
+
+
+def token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace token count and
+    a BPE-ish count (alnum runs + individual symbols), regex-portable
+    across Spark (Java regex) and DuckDB (RE2)."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            f"size(filter(split({text_col}, '\\\\s+'), x -> x != ''))"
+        ).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
+            )
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", mod: int = 2**31
+) -> DataFrame:
+    """(doc_id, fingerprint) — position-weighted word-hash fingerprint
+    Σ_i md5int(w_i)·(i+1) mod 2^31. Order-sensitive (unlike a bag
+    hash); engine-portable via md5."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(word_tokens_column(text_col)).alias("pos", "w"),
+    )
+    return (
+        words.withColumn(
+            "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn("weighted", (F.col("h") % mod) * (F.col("pos") + 1))
+        .groupBy(id_col)
+        .agg(
+            (F.sum(F.col("weighted").cast("decimal(38,0)")) % mod)
+            .cast("long")
+            .alias("fingerprint")
+        )
+    )
