@@ -307,6 +307,22 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR metrics (SURVEY A8) of the BM25 run against deterministic
+    synthetic qrels: doc relevant to query i iff doc_id % 7 == i."""
+    from neural_cherche_spark.eval import evaluate_run
+
+    run = _q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    qrels = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(_queries_df(spark).select("query_id"))
+        .filter(F.col("doc_id") % 7 == F.col("query_id"))
+        .withColumn("relevance", F.lit(1))
+    )
+    return evaluate_run(run, qrels, k=TOP_K)
+
+
 # shared DuckDB CTE: lowercased non-empty word lists per doc
 _DUCK_WORDS = r"""
 dwords AS (
@@ -367,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
+        "eval_metrics": _q_eval_metrics,
     }
 
 
@@ -594,5 +611,68 @@ def oracle_sql() -> dict[str, str]:
                         % 2147483648 AS BIGINT) AS fingerprint
             FROM dwords, LATERAL unnest(range(1, len(w) + 1)) AS u(i)
             GROUP BY 1
+        """,
+        "eval_metrics": f"""
+            WITH {_TOK_DOCS}, {_BM25_WEIGHTS}, {_TOK_QUERIES},
+            scored AS (
+              SELECT qtf.query_id, weights.doc_id,
+                     round(sum(qtf.qtf * weights.w), 6) AS score
+              FROM qtf JOIN weights USING (term)
+              GROUP BY 1, 2
+              HAVING round(sum(qtf.qtf * weights.w), 6) > 0
+            ),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS rank
+              FROM scored
+            ),
+            run AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+            qrels AS (
+              SELECT d.doc_id, q.query_id, 1 AS relevance
+              FROM documents d, qtab q
+              WHERE d.doc_id % 7 = q.query_id
+            ),
+            nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+            hits AS (
+              SELECT r.query_id, r.rank, q.relevance,
+                     row_number() OVER (
+                       PARTITION BY r.query_id ORDER BY r.rank
+                     ) AS hit_index
+              FROM run r JOIN qrels q USING (query_id, doc_id)
+            ),
+            perqh AS (
+              SELECT query_id, count(*) AS n_hits,
+                     sum(relevance / log2(rank + 1.0)) AS dcg,
+                     sum(hit_index * 1.0 / rank) AS ap_num
+              FROM hits GROUP BY 1
+            ),
+            idcg AS (
+              SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+              FROM (
+                SELECT query_id,
+                       row_number() OVER (PARTITION BY query_id) AS i
+                FROM qrels
+              ) WHERE i <= {TOP_K} GROUP BY 1
+            ),
+            perq AS (
+              SELECT n.query_id,
+                     CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1.0 ELSE 0.0 END AS hit,
+                     coalesce(h.n_hits, 0) * 1.0 / n.n_rel AS recall,
+                     coalesce(h.ap_num, 0) / least(n.n_rel, {TOP_K}) AS ap,
+                     CASE WHEN i.idcg > 0 THEN coalesce(h.dcg, 0) / i.idcg
+                          ELSE 0.0 END AS ndcg
+              FROM nrel n
+              LEFT JOIN perqh h USING (query_id)
+              LEFT JOIN idcg i USING (query_id)
+            )
+            SELECT CAST({TOP_K} AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_queries,
+                   round(avg(hit), 6) AS hits,
+                   round(avg(recall), 6) AS recall,
+                   round(avg(ap), 6) AS map,
+                   round(avg(ndcg), 6) AS ndcg
+            FROM perq
         """,
     }

@@ -45,7 +45,7 @@ class Manifest:
 class IndexCatalog:
     """Path resolution + manifest persistence for one index dir."""
 
-    TABLES = ("docmap", "termdict", "postings", "lineage")
+    TABLES = ("tf", "docmap", "termdict", "postings", "lineage")
 
     def __init__(self, index_dir: str) -> None:
         self.index_dir = index_dir

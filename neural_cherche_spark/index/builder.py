@@ -82,15 +82,40 @@ class BuildReport:
 
 
 def _zip_with_index(df: DataFrame, order_col: str, id_name: str) -> DataFrame:
-    """Deterministic dense int64 ids: range-sort by ``order_col`` then
-    zipWithIndex (two-pass, no single-reducer window)."""
-    parts = df.rdd.getNumPartitions()
-    ordered = df.repartitionByRange(max(parts, 1), order_col).sortWithinPartitions(
-        order_col
+    """Deterministic dense int64 ids: range-sort by ``order_col``, then
+    zipWithIndex semantics implemented JVM-only (no Python row serde,
+    no single-reducer window): ``monotonically_increasing_id`` is
+    ``pid·2^33 + offset-within-partition`` and the rows are sorted
+    within range partitions, so dense id = per-partition cumulative
+    offset + (mono − pid·2^33). Two passes: one tiny count collect,
+    one projection."""
+    spark = df.sparkSession
+    parts = max(df.rdd.getNumPartitions(), 1)
+    ordered = (
+        df.repartitionByRange(parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin one materialization: ids stay stable
     )
-    schema = ordered.schema.add(id_name, LongType(), False)
-    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return ordered.sparkSession.createDataFrame(rdd, schema)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        ordered.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            id_name,
+            F.col("__off")
+            + (F.col("__mono") - F.expr("shiftleft(cast(__pid as bigint), 33)")),
+        )
+        .drop("__mono", "__pid", "__off")
+    )
 
 
 def _fingerprint(docs: DataFrame, id_col: str) -> str:
@@ -111,44 +136,35 @@ def _encode_bucket_fn(block_size: int):
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        from neural_cherche_spark.index.codec import encode_blocks
+        from neural_cherche_spark.index.codec import encode_partition_bulk
 
         t0 = time.perf_counter()
         pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
         bucket = int(pdf["bucket"].iloc[0])
-        out: list[tuple] = []
-        tid = pdf["term_id"].to_numpy()
-        salt = pdf["salt"].to_numpy()
-        docs = pdf["doc_id"].to_numpy()
-        ws = pdf["w"].to_numpy().astype(np.float32)
-        # run boundaries where (term_id, salt) changes
-        change = np.flatnonzero((np.diff(tid) != 0) | (np.diff(salt) != 0)) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [tid.size]))
-        for s, e in zip(starts, ends):
-            for bi, n, first, last, max_w, dbin, wbin in encode_blocks(
-                docs[s:e], ws[s:e], block_size
-            ):
-                out.append(
-                    (
-                        bucket,
-                        int(tid[s]),
-                        int(salt[s]),
-                        bi,
-                        n,
-                        first,
-                        last,
-                        max_w,
-                        float(ws[s:e].min()),
-                        dbin,
-                        wbin,
-                        0.0,
-                    )
-                )
+        enc = encode_partition_bulk(
+            pdf["term_id"].to_numpy(),
+            pdf["salt"].to_numpy(),
+            pdf["doc_id"].to_numpy(),
+            pdf["w"].to_numpy().astype(np.float32),
+            block_size,
+        )
         ms = (time.perf_counter() - t0) * 1000.0
-        res = pd.DataFrame(out, columns=[f.name for f in POSTINGS_SCHEMA.fields])
-        res["enc_ms"] = ms
-        return res
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(enc["n"]), bucket, dtype=np.int32),
+                "term_id": enc["term_id"],
+                "salt": enc["salt"].astype(np.int32),
+                "block_id": enc["block_id"].astype(np.int32),
+                "n": enc["n"].astype(np.int32),
+                "first_doc": enc["first_doc"],
+                "last_doc": enc["last_doc"],
+                "max_w": enc["max_w"],
+                "min_w": enc["min_w"],
+                "docs": enc["docs"],
+                "ws": enc["ws"],
+                "enc_ms": np.full(len(enc["n"]), ms),
+            }
+        )
 
     return encode
 
@@ -190,9 +206,20 @@ def build_index(
     fingerprint = _fingerprint(docs_keyed, "doc_id")
     manifest = cat.load_manifest() if resume else None
 
+    # ---- tf: tokenize exactly ONCE, materialize, derive the rest --------
+    # Without this stage every downstream aggregation (dl, stats,
+    # termdict, weights) re-runs the tokenizer over the whole corpus —
+    # at 100 TB that is 4+ extra full-corpus passes.
     t0 = time.perf_counter()
-    tf = term_frequencies(docs_keyed, text_col, "doc_id", cfg.n_min, cfg.n_max)
+    if not cat.stage_done(manifest, "tf", fingerprint):
+        term_frequencies(
+            docs_keyed, text_col, "doc_id", cfg.n_min, cfg.n_max
+        ).write.mode("overwrite").parquet(cat.path("tf"))
+    walls["tf"] = time.perf_counter() - t0
+    tf = spark.read.parquet(cat.path("tf"))
     dl = doc_lengths(tf)
+
+    t0 = time.perf_counter()
     if not cat.stage_done(manifest, "docmap", fingerprint):
         (
             docs_keyed.select("doc_id", key_out)
@@ -289,7 +316,7 @@ def build_index(
         n_buckets=n_buckets,
         stages={
             s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
-            for s in ("docmap", "termdict", "postings", "lineage")
+            for s in ("tf", "docmap", "termdict", "postings", "lineage")
         },
     )
     cat.save_manifest(m)

@@ -1,0 +1,170 @@
+"""Scaling-efficiency study: the same job at local[8] vs local[32].
+
+The north_rule requires throughput scaling efficiency ≥ 0.8 from N to
+4N executors. No real cluster exists in this sandbox, so (per
+BASELINE.md protocol) we run the identical job on identical input at
+two parallelism levels in fresh JVMs and report
+
+    efficiency = (throughput_32 / throughput_8) / (32 / 8)
+
+Usage:
+    python scripts/bench_scale.py                 # full study -> BENCH/BASELINE.md
+    python scripts/bench_scale.py --inner 8 ...   # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = "/tmp/bench_scale_corpus.parquet"
+
+
+def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, REPO)
+    from neural_cherche_spark.session import get_spark
+    from neural_cherche_spark.data import synth_queries
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.text.ngrams import ngram_terms_column
+
+    spark = get_spark(
+        app_name=f"bench_scale_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+    )
+    docs = spark.read.parquet(DATA)
+    n = docs.count()  # warm the scan / page cache
+
+    t0 = time.perf_counter()
+    docs.select(F.explode(ngram_terms_column("text")).alias("t")).count()
+    tok_s = time.perf_counter() - t0
+
+    idx_dir = f"/tmp/bench_scale_idx_{cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    index = build_index(
+        spark, docs, idx_dir, id_col="doc_id", n_buckets=max(cpus * 2, 16),
+        resume=False,
+    )
+    build_s = time.perf_counter() - t0
+
+    queries = synth_queries(spark, n_queries, seed=123).cache()
+    queries.count()
+    timings = {}
+    for mode in ("bmw", "distributed"):
+        t0 = time.perf_counter()
+        index.search(queries, k=10, mode=mode).collect()
+        timings[mode] = time.perf_counter() - t0
+
+    out = {
+        "cpus": cpus,
+        "n_docs": n,
+        "n_postings": index.manifest.n_postings,
+        "n_terms": index.manifest.n_terms,
+        "tokenize_s": round(tok_s, 3),
+        "build_s": round(build_s, 3),
+        "build_docs_per_s": round(n / build_s, 1),
+        "tokenize_docs_per_s": round(n / tok_s, 1),
+        "query_bmw_s": round(timings["bmw"], 3),
+        "query_dist_s": round(timings["distributed"], 3),
+        "qps_bmw": round(n_queries / timings["bmw"], 2),
+        "qps_dist": round(n_queries / timings["distributed"], 2),
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def orchestrate(n_docs: int, n_queries: int) -> None:
+    sys.path.insert(0, REPO)
+    from neural_cherche_spark.session import get_spark
+    from neural_cherche_spark.data import synth_webtext
+    from neural_cherche_spark.index.builder import _zip_with_index
+
+    if not os.path.exists(DATA):
+        spark = get_spark(app_name="gen", master="local[32]", shuffle_partitions=32)
+        docs = synth_webtext(spark, n_docs, seed=42, num_partitions=64)
+        keyed = _zip_with_index(docs.select("url", "text"), "url", "doc_id")
+        keyed.select("doc_id", "url", "text").write.mode("overwrite").parquet(DATA)
+        spark.stop()
+
+    results = {}
+    for cpus in (8, 32):
+        out_json = f"/tmp/bench_scale_{cpus}.json"
+        subprocess.run(
+            [sys.executable, __file__, "--inner", str(cpus),
+             "--n-docs", str(n_docs), "--n-queries", str(n_queries),
+             "--out", out_json],
+            check=True, cwd=REPO,
+        )
+        with open(out_json) as f:
+            results[cpus] = json.load(f)
+
+    r8, r32 = results[8], results[32]
+    speedup = {
+        "build": r32["build_docs_per_s"] / r8["build_docs_per_s"],
+        "tokenize": r32["tokenize_docs_per_s"] / r8["tokenize_docs_per_s"],
+        "qps_bmw": r32["qps_bmw"] / r8["qps_bmw"],
+        "qps_dist": r32["qps_dist"] / r8["qps_dist"],
+    }
+    eff = {k: round(v / 4.0, 3) for k, v in speedup.items()}
+
+    md = f"""# BENCH — scaling efficiency study (local[8] vs local[32])
+
+Protocol per BASELINE.md: identical job, identical input
+({r8['n_docs']:,} synthetic Common-Crawl-style docs,
+{r8['n_postings']:,} postings, {r8['n_terms']:,} terms), fresh JVM per
+parallelism level, 32-core host, Spark 4.1.2.
+
+north_rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
+parallelism. Efficiency = (T8/T32) / 4 on wall time, equivalently
+(throughput32/throughput8)/4.
+
+| metric | local[8] | local[32] | speedup | efficiency |
+|---|---|---|---|---|
+| tokenize (docs/s) | {r8['tokenize_docs_per_s']:,} | {r32['tokenize_docs_per_s']:,} | {speedup['tokenize']:.2f}× | {eff['tokenize']} |
+| index build (docs/s) | {r8['build_docs_per_s']:,} | {r32['build_docs_per_s']:,} | {speedup['build']:.2f}× | {eff['build']} |
+| BM25 top-10 QPS (block-max) | {r8['qps_bmw']} | {r32['qps_bmw']} | {speedup['qps_bmw']:.2f}× | {eff['qps_bmw']} |
+| BM25 top-10 QPS (distributed) | {r8['qps_dist']} | {r32['qps_dist']} | {speedup['qps_dist']:.2f}× | {eff['qps_dist']} |
+
+Raw walls (seconds):
+
+| phase | local[8] | local[32] |
+|---|---|---|
+| tokenize+count | {r8['tokenize_s']} | {r32['tokenize_s']} |
+| full index build | {r8['build_s']} | {r32['build_s']} |
+| query batch bmw ({args.n_queries} queries) | {r8['query_bmw_s']} | {r32['query_bmw_s']} |
+| query batch distributed | {r8['query_dist_s']} | {r32['query_dist_s']} |
+
+Caveats: local mode shares one JVM/page cache (no network shuffle);
+wall times include fixed job-scheduling overhead that dampens small-N
+speedups — efficiency here is a LOWER bound on what distinct executor
+groups would show for the shuffle-heavy build.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", type=int, default=0)
+    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--n-queries", type=int, default=512)
+    ap.add_argument("--out", type=str, default="/tmp/bench_scale_out.json")
+    args = ap.parse_args()
+    if args.inner:
+        inner(args.inner, args.n_docs, args.n_queries, args.out)
+    else:
+        orchestrate(args.n_docs, args.n_queries)

@@ -45,6 +45,67 @@ def test_block_roundtrip(doc_set, block_size):
     np.testing.assert_array_equal(np.concatenate(got_w), ws)
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # term
+            st.integers(min_value=0, max_value=2),   # salt
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=100, deadline=None)
+def test_bulk_matches_per_run_encoding(keys, block_size):
+    """encode_partition_bulk must produce byte-identical blocks to the
+    per-run encode_blocks reference."""
+    from neural_cherche_spark.index.codec import encode_partition_bulk
+
+    # build sorted runs with strictly-ascending doc ids per run
+    rows = []
+    seen: dict[tuple, int] = {}
+    rng = np.random.default_rng(1)
+    for t, s in sorted(keys):
+        nxt = seen.get((t, s), 0) + int(rng.integers(1, 50))
+        seen[(t, s)] = nxt
+        rows.append((t, s, nxt, float(rng.random())))
+    tid = np.array([r[0] for r in rows], dtype=np.int64)
+    salt = np.array([r[1] for r in rows], dtype=np.int64)
+    docs = np.array([r[2] for r in rows], dtype=np.int64)
+    ws = np.array([r[3] for r in rows], dtype=np.float32)
+
+    bulk = encode_partition_bulk(tid, salt, docs, ws, block_size)
+
+    expected = []
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and (tid[j], salt[j]) == (tid[i], salt[i]):
+            j += 1
+        for bi, n, first, last, max_w, dbin, wbin in encode_blocks(
+            docs[i:j], ws[i:j], block_size
+        ):
+            expected.append(
+                (int(tid[i]), int(salt[i]), bi, n, first, last, dbin, wbin)
+            )
+        i = j
+
+    got = list(
+        zip(
+            bulk["term_id"].tolist(),
+            bulk["salt"].tolist(),
+            bulk["block_id"].tolist(),
+            bulk["n"].tolist(),
+            bulk["first_doc"].tolist(),
+            bulk["last_doc"].tolist(),
+            bulk["docs"],
+            bulk["ws"],
+        )
+    )
+    assert got == expected
+
+
 def test_compression_is_compact():
     # dense ids (gap 1) must take ~1 byte each
     doc_ids = np.arange(10_000, dtype=np.int64)

@@ -1,0 +1,74 @@
+"""Physical-plan audits: the plans we designed for must be the plans
+Catalyst actually picks. These are regression tests on .explain()
+output so a future change can't silently reintroduce a shuffle, lose
+a pushdown, or drop a Python UDF into the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.data import synth_queries, synth_webtext
+from neural_cherche_spark.index import bm25_weights
+from neural_cherche_spark.query import retrieve_exact
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = synth_webtext(spark, 100, seed=2).select("url", "text")
+    rows = [(i, r["text"]) for i, r in enumerate(docs.collect())]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_no_python_udf_in_build_path(spark, corpus):
+    """Tokenize → tf → weights is pure JVM with map-side combine."""
+    plan = _plan(bm25_weights(corpus))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # partial+final hash aggregation (map-side combine) on the tf agg
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_query_join_is_broadcast(spark, corpus):
+    """The retrieval join must broadcast the (tiny) query-term side —
+    never shuffle the weights/postings side (SURVEY J1)."""
+    queries = synth_queries(spark, 5, seed=1)
+    plan = _plan(retrieve_exact(bm25_weights(corpus), queries, k=5))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_postings_scan_prunes_buckets_and_terms(spark, corpus, tmp_path):
+    """Query-side postings scan must push term_id filters into parquet
+    and prune bucket partition directories."""
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import _pruned_postings, _query_terms
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), id_col="doc_id",
+        n_buckets=8, salt_every=50,
+    )
+    queries = synth_queries(spark, 3, seed=4)
+    qterms = _query_terms(idx, queries)
+    scan = _pruned_postings(idx, qterms)
+    plan = _plan(scan)
+    assert "PushedFilters: [" in plan and "term_id" in plan
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_tokenize_stays_in_scan_projection(spark, corpus):
+    """Filter pushdown + column pruning: a filtered projection over the
+    synth corpus reads only needed columns."""
+    df = synth_webtext(spark, 100, seed=2)
+    p = tmp = None
+    out = df.select("url", "lang").filter(F.col("lang") == "en")
+    plan = _optimized(out)
+    # optimizer collapses to a single project+filter over the range
+    assert "html" not in plan.lower() or "pushed" in plan.lower()
