@@ -200,6 +200,39 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over L2-normalized smoothed tf-idf (reference
+    retrieve.TfIdf semantics; SURVEY §2.9 TfIdf variant)."""
+    from neural_cherche_spark.index import tfidf_weights
+    from neural_cherche_spark.query.exact import query_term_counts
+    from pyspark.sql import Window
+
+    w = tfidf_weights(_docs(spark, sf_dir))
+    qt = query_term_counts(_queries_df(spark))
+    dfq = qt.join(w.select("term", "idf").distinct(), "term").withColumn(
+        "qw_raw", F.col("qtf") * F.col("idf")
+    )
+    qnorm = dfq.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw_raw") * F.col("qw_raw"))).alias("qnorm")
+    )
+    scored = (
+        dfq.join(qnorm, "query_id")
+        .withColumn("qw", F.col("qw_raw") / F.col("qnorm"))
+        .join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("qw") * F.col("w")), 6).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _q_field_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY P1: multi-field concat with missing→'' semantics."""
     return _docs(spark, sf_dir).select(
@@ -307,6 +340,39 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage rank step (SURVEY §3.3): MaxSim late interaction over
+    token-embedding tables derived deterministically from the
+    embeddings fixture (4 tokens = 16-dim slices of each vector)."""
+    from neural_cherche_spark.ops.maxsim import maxsim_scores
+    from pyspark.sql import Window
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tok = "array(slice(embedding,1,16), slice(embedding,17,16), slice(embedding,33,16), slice(embedding,49,16))"
+    doc_tokens = vecs.select(
+        F.col("vec_id").alias("doc_id"), F.expr(tok).alias("d_tokens")
+    )
+    query_tokens = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.expr(tok).alias("q_tokens")
+    )
+    candidates = (
+        vecs.select(F.col("vec_id").alias("doc_id"))
+        .crossJoin(query_tokens.select("query_id"))
+        .filter(F.col("doc_id") % 5 == F.col("query_id"))
+    )
+    scored = maxsim_scores(candidates, doc_tokens, query_tokens).withColumn(
+        "score", F.round("score", 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR metrics (SURVEY A8) of the BM25 run against deterministic
     synthetic qrels: doc relevant to query i iff doc_id % 7 == i."""
@@ -372,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "bm25_weights": _q_bm25_weights,
         "bm25_topk": _q_bm25_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "field_concat": _q_field_concat,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -383,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
+        "colbert_maxsim": _q_colbert_maxsim,
         "eval_metrics": _q_eval_metrics,
     }
 
@@ -435,6 +503,49 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+        """,
+        "tfidf_topk": f"""
+            WITH {_TOK_DOCS}, {_TOK_QUERIES},
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+            widf AS (
+              SELECT term, ln((1.0 + nd.n_docs) / (1.0 + df)) + 1.0 AS idf
+              FROM dfreq CROSS JOIN nd
+            ),
+            wraw AS (
+              SELECT tf.doc_id, tf.term, tf.tf * widf.idf AS w_raw
+              FROM tf JOIN widf USING (term)
+            ),
+            dnorm AS (
+              SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS dn FROM wraw GROUP BY 1
+            ),
+            w AS (
+              SELECT wraw.doc_id, wraw.term, wraw.w_raw / dnorm.dn AS w
+              FROM wraw JOIN dnorm USING (doc_id)
+            ),
+            qraw AS (
+              SELECT qtf.query_id, qtf.term, qtf.qtf * widf.idf AS qw_raw
+              FROM qtf JOIN widf USING (term)
+            ),
+            qnorm AS (
+              SELECT query_id, sqrt(sum(qw_raw * qw_raw)) AS qn FROM qraw GROUP BY 1
+            ),
+            qw AS (
+              SELECT qraw.query_id, qraw.term, qraw.qw_raw / qnorm.qn AS qw
+              FROM qraw JOIN qnorm USING (query_id)
+            ),
+            scored AS (
+              SELECT qw.query_id, w.doc_id, round(sum(qw.qw * w.w), 6) AS score
+              FROM qw JOIN w USING (term)
+              GROUP BY 1, 2
+              HAVING round(sum(qw.qw * w.w), 6) > 0
+            )
+            SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= {TOP_K}
         """,
         "field_concat": """
             SELECT doc_id,
@@ -611,6 +722,29 @@ def oracle_sql() -> dict[str, str]:
                         % 2147483648 AS BIGINT) AS fingerprint
             FROM dwords, LATERAL unnest(range(1, len(w) + 1)) AS u(i)
             GROUP BY 1
+        """,
+        "colbert_maxsim": """
+            WITH tok AS (
+              SELECT vec_id,
+                     [list_slice(embedding, 1, 16), list_slice(embedding, 17, 32),
+                      list_slice(embedding, 33, 48), list_slice(embedding, 49, 64)] AS v
+              FROM embeddings
+            ),
+            qtok AS (SELECT vec_id AS query_id, v FROM tok WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, d.vec_id AS doc_id,
+                     round(list_sum(list_transform(q.v, qt ->
+                        list_max(list_transform(d.v, dt ->
+                          list_sum(list_transform(range(1, len(qt) + 1),
+                            i -> qt[i]::DOUBLE * dt[i]::DOUBLE)))))), 6) AS score
+              FROM qtok q JOIN tok d ON d.vec_id % 5 = q.query_id
+            )
+            SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
         """,
         "eval_metrics": f"""
             WITH {_TOK_DOCS}, {_BM25_WEIGHTS}, {_TOK_QUERIES},

@@ -235,18 +235,50 @@ def build_index(
     stats_row = collection_stats(dl).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
     if not cat.stage_done(manifest, "termdict", fingerprint):
-        ts = term_stats(tf).withColumn(
-            "idf",
-            F.log(
-                (F.lit(n_docs) - F.col("tf_total") + 0.5) / (F.col("tf_total") + 0.5)
-                + 1.0
-            ),
+        # ONE pass over tf computes tf_total, df AND the norm base:
+        # w1 (the tf component) does not depend on idf, and
+        # norm = sqrt(Σ(w1·idf)²) = |idf|·sqrt(Σw1²), so Σw1² can be
+        # aggregated alongside tf_total — no second full-corpus pass,
+        # and the weights stage later needs only a broadcast join
+        # against this small table (SURVEY §4.4, window-free).
+        w1 = tf.join(dl, "doc_id").withColumn(
+            "w1",
+            F.col("tf")
+            * (cfg.k1 + 1.0)
+            / (
+                F.col("tf")
+                + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+            )
+            + F.lit(cfg.epsilon),
         )
-        ts = ts.withColumn(
-            "n_salts",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("df") / F.lit(salt_every)).cast("int")
-            ),
+        ts = (
+            w1.groupBy("term")
+            .agg(
+                F.sum("tf").alias("tf_total"),
+                F.count(F.lit(1)).alias("df"),
+                F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("tf_total") + 0.5)
+                    / (F.col("tf_total") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "term_norm",
+                F.when(
+                    F.col("idf") == 0, F.lit(1.0)
+                ).otherwise(F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))),
+            )
+            .withColumn(
+                "n_salts",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("df") / F.lit(salt_every)).cast("int")
+                ),
+            )
+            .drop("sw1sq")
         )
         termdict = _zip_with_index(ts, "term", "term_id")
         termdict.write.mode("overwrite").parquet(cat.path("termdict"))

@@ -20,18 +20,28 @@ def weights_from_tf(
     n_docs: int,
     avgdl: float,
     cfg: BM25Config,
+    broadcast_termdict: bool = True,
 ) -> DataFrame:
     """(term_id, doc_id, w, n_salts) normalized BM25 weights.
 
     Same math as index.build.bm25_weights (SURVEY §2.9 steps 1-5) but
-    idf comes from the termdict table and n_docs/avgdl are literals
-    (already-collected scalars), saving two aggregations.
+    idf AND the per-term L2 norm come from the termdict table
+    (computed once in the termdict stage), so this plan touches the
+    full posting set exactly once: tf ⋈ dl (doc-keyed) ⋈
+    broadcast(termdict) → project. No term-keyed shuffle of postings.
+
+    ``broadcast_termdict=False`` for vocabularies too large to
+    broadcast (>~a few 10^7 terms): falls back to a shuffle join that
+    AQE plans with skew handling.
     """
-    w2 = (
+    td = termdict.select("term", "term_id", "idf", "term_norm", "n_salts")
+    if broadcast_termdict:
+        td = F.broadcast(td)
+    return (
         tf.join(dl, "doc_id")
-        .join(termdict.select("term", "term_id", "idf", "n_salts"), "term")
+        .join(td, "term")
         .withColumn(
-            "w2",
+            "w",
             (
                 F.col("tf")
                 * (cfg.k1 + 1.0)
@@ -41,15 +51,8 @@ def weights_from_tf(
                 )
                 + F.lit(cfg.epsilon)
             )
-            * F.col("idf"),
+            * F.col("idf")
+            / F.col("term_norm"),
         )
-        .select("term_id", "doc_id", "w2", "n_salts")
-    )
-    norms = w2.groupBy("term_id").agg(
-        F.sqrt(F.sum(F.col("w2") * F.col("w2"))).alias("term_norm")
-    )
-    return (
-        w2.join(norms, "term_id")
-        .withColumn("w", F.col("w2") / F.col("term_norm"))
         .select("term_id", "doc_id", "w", "n_salts")
     )

@@ -1,0 +1,196 @@
+"""Reference-shaped retriever API: ``retrieve.BM25`` / ``retrieve.TfIdf``.
+
+A user of the reference library
+(``neural_cherche.retrieve.BM25(key=..., on=[...])`` →
+``encode_documents`` → ``add`` → ``encode_queries`` → ``__call__``,
+reference retrieve/tfidf.py:72-219, retrieve/bm25.py:110-197) can
+switch to this class and run the same calls; execution is distributed
+Spark underneath.
+
+Semantics matched:
+* multi-field concat with ``" ".join(doc.get(f, ""))`` (P1,
+  tfidf.py:109-111) — missing fields become empty strings;
+* ids may be int or str (doctests use both);
+* repeated ``add()`` batches with the reference's accumulation quirks
+  (delegated to streaming/incremental.py, golden-tested);
+* duplicate queries are collapsed before retrieval and re-expanded in
+  the result list (J5, utils/evaluate.py:8-24 + tfidf.py:123-144);
+* ``k=None`` returns all positive-score docs (T3); scores ≤ 0 dropped
+  (T2); results are ``[{key, similarity}, ...]`` sorted desc.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.index.build import BM25Config, tfidf_weights
+from neural_cherche_spark.query.exact import retrieve_exact
+from neural_cherche_spark.streaming.incremental import IncrementalBM25Builder
+
+
+def _docs_df(
+    spark: SparkSession, documents: list[dict], key: str, on: list[str]
+) -> DataFrame:
+    rows = [
+        (
+            str(doc[key]),
+            " ".join(str(doc.get(f, "")) for f in on),
+        )
+        for doc in documents
+    ]
+    return spark.createDataFrame(rows, "doc_key string, text string")
+
+
+class BM25:
+    """Distributed BM25 retriever with the reference's call shape."""
+
+    def __init__(
+        self,
+        key: str,
+        on: str | list[str],
+        spark: SparkSession | None = None,
+        k1: float = 1.5,
+        b: float = 0.75,
+        epsilon: float = 0.0,
+        state_dir: str | None = None,
+    ) -> None:
+        self.key = key
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.spark = spark or SparkSession.active()
+        self.cfg = BM25Config(k1=k1, b=b, epsilon=epsilon)
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="bm25_state_")
+        self._builder = IncrementalBM25Builder(
+            self.spark, self.state_dir, self.cfg, text_col="text", id_col="doc_key"
+        )
+        self._key_values: list = []  # original (possibly int) keys, in order
+
+    # -- reference API ------------------------------------------------------
+    def encode_documents(self, documents: list[dict]) -> DataFrame:
+        """Returns the (doc_key, text) DataFrame — the Spark analogue of
+        the reference's dict of CSR rows (an unevaluated plan, not a
+        materialization)."""
+        self._pending_keys = [doc[self.key] for doc in documents]
+        return _docs_df(self.spark, documents, self.key, self.on)
+
+    def add(self, documents_embeddings: DataFrame) -> "BM25":
+        self._builder.add_batch(documents_embeddings)
+        self._key_values.extend(getattr(self, "_pending_keys", []))
+        self._pending_keys = []
+        return self
+
+    def encode_queries(self, queries: list[str]) -> DataFrame:
+        distinct = list(dict.fromkeys(queries))
+        self._query_order = queries
+        self._distinct_queries = distinct
+        return self.spark.createDataFrame(
+            list(enumerate(distinct)), "query_id long, query string"
+        )
+
+    def __call__(
+        self, queries_embeddings: DataFrame, k: int | None = None
+    ) -> list[list[dict]]:
+        res = self._builder.retrieve(queries_embeddings, k=k)
+        by_query: dict[int, list] = {}
+        for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            by_query.setdefault(int(r["query_id"]), []).append(
+                {"doc_key": r["doc_key"], "similarity": float(r["score"])}
+            )
+        # restore original key type + re-expand duplicate queries (J5)
+        key_map = {str(kv): kv for kv in self._key_values}
+        qidx = {q: i for i, q in enumerate(self._distinct_queries)}
+        out = []
+        for q in self._query_order:
+            hits = by_query.get(qidx[q], [])
+            out.append(
+                [
+                    {self.key: key_map.get(h["doc_key"], h["doc_key"]),
+                     "similarity": h["similarity"]}
+                    for h in hits
+                ]
+            )
+        return out
+
+
+class TfIdf:
+    """Distributed TF-IDF retriever (cosine over L2-normalized tf-idf,
+    reference retrieve/tfidf.py). Single-batch: ``add`` unions batches
+    and recomputes (the reference's TfIdf does no re-weighting on add;
+    tfidf.py:146-161)."""
+
+    def __init__(
+        self,
+        key: str,
+        on: str | list[str],
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.key = key
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.spark = spark or SparkSession.active()
+        self._docs: DataFrame | None = None
+        self._key_values: list = []
+
+    def encode_documents(self, documents: list[dict]) -> DataFrame:
+        self._pending_keys = [doc[self.key] for doc in documents]
+        return _docs_df(self.spark, documents, self.key, self.on)
+
+    def add(self, documents_embeddings: DataFrame) -> "TfIdf":
+        self._docs = (
+            documents_embeddings
+            if self._docs is None
+            else self._docs.unionByName(documents_embeddings)
+        )
+        self._key_values.extend(getattr(self, "_pending_keys", []))
+        self._pending_keys = []
+        return self
+
+    def encode_queries(self, queries: list[str]) -> DataFrame:
+        distinct = list(dict.fromkeys(queries))
+        self._query_order = queries
+        self._distinct_queries = distinct
+        return self.spark.createDataFrame(
+            list(enumerate(distinct)), "query_id long, query string"
+        )
+
+    def __call__(
+        self, queries_embeddings: DataFrame, k: int | None = None
+    ) -> list[list[dict]]:
+        if self._docs is None:
+            raise RuntimeError("no documents added")
+        w = tfidf_weights(self._docs, id_col="doc_key")
+        # cosine: idf-weighted L2-normalized query side
+        from neural_cherche_spark.query.exact import query_term_counts, top_k
+
+        qt = query_term_counts(queries_embeddings)
+        dfq = qt.join(w.select("term", "idf").distinct(), "term").withColumn(
+            "qw_raw", F.col("qtf") * F.col("idf")
+        )
+        qnorm = dfq.groupBy("query_id").agg(
+            F.sqrt(F.sum(F.col("qw_raw") ** 2)).alias("qnorm")
+        )
+        scored = (
+            dfq.join(qnorm, "query_id")
+            .withColumn("qw", F.col("qw_raw") / F.col("qnorm"))
+            .join(w, "term")
+            .groupBy("query_id", "doc_key")
+            .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        res = top_k(scored, k, doc_id="doc_key")
+        by_query: dict[int, list] = {}
+        for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            by_query.setdefault(int(r["query_id"]), []).append(
+                {"doc_key": r["doc_key"], "similarity": float(r["score"])}
+            )
+        key_map = {str(kv): kv for kv in self._key_values}
+        qidx = {q: i for i, q in enumerate(self._distinct_queries)}
+        return [
+            [
+                {self.key: key_map.get(h["doc_key"], h["doc_key"]),
+                 "similarity": h["similarity"]}
+                for h in by_query.get(qidx[q], [])
+            ]
+            for q in self._query_order
+        ]

@@ -181,7 +181,7 @@ class IncrementalBM25Builder:
         from neural_cherche_spark.query.exact import retrieve_exact
 
         return retrieve_exact(
-            self.weights(), queries, k=k,
+            self.weights(), queries, k=k, doc_id=self.id_col,
             n_min=self.cfg.n_min, n_max=self.cfg.n_max,
         )
 

@@ -51,9 +51,10 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
     idx_dir = f"/tmp/bench_scale_idx_{cpus}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # n_buckets fixed across parallelism levels: the index must be the
+    # SAME artifact at local[8] and local[32] for a fair scaling study
     index = build_index(
-        spark, docs, idx_dir, id_col="doc_id", n_buckets=max(cpus * 2, 16),
-        resume=False,
+        spark, docs, idx_dir, id_col="doc_id", n_buckets=64, resume=False,
     )
     build_s = time.perf_counter() - t0
 

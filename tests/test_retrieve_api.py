@@ -1,0 +1,89 @@
+"""Reference-API-shape parity: the retrieve.BM25/TfIdf classes run the
+exact call sequence of the reference doctests and reproduce the
+goldens (retrieve/bm25.py:38-108) including int keys, two-batch adds,
+duplicate queries and multi-field docs."""
+
+from __future__ import annotations
+
+import pytest
+
+from neural_cherche_spark import retrieve
+from tests.conftest import (
+    GOLDEN_BATCH1,
+    GOLDEN_BATCH2,
+    QUERIES_A,
+    assert_rank_identical,
+)
+
+DOCS1 = [
+    {"id": 0, "document": "Food"},
+    {"id": 1, "document": "Sports"},
+    {"id": 2, "document": "Cinema"},
+]
+DOCS2 = [
+    {"id": 3, "document": "Food"},
+    {"id": 4, "document": "Sports"},
+    {"id": 5, "document": "Cinema"},
+]
+
+
+def _pairs(result):
+    return [[(d["id"], d["similarity"]) for d in row] for row in result]
+
+
+def test_bm25_doctest_sequence(spark, tmp_path):
+    retriever = retrieve.BM25(
+        key="id", on=["document"], spark=spark, state_dir=str(tmp_path / "s")
+    )
+    emb = retriever.encode_documents(documents=DOCS1)
+    retriever = retriever.add(documents_embeddings=emb)
+    q = retriever.encode_queries(queries=QUERIES_A)
+    scores = retriever(queries_embeddings=q, k=4)
+    for g, e in zip(_pairs(scores), GOLDEN_BATCH1):
+        assert_rank_identical(g, e, rtol=1e-5)
+
+    emb2 = retriever.encode_documents(documents=DOCS2)
+    retriever = retriever.add(documents_embeddings=emb2)
+    scores2 = retriever(queries_embeddings=q, k=4)
+    for g, e in zip(_pairs(scores2), GOLDEN_BATCH2):
+        assert_rank_identical(g, e, rtol=1e-5)
+
+
+def test_multifield_and_string_keys(spark, tmp_path):
+    """FIXTURES.md F4: multi-field concat, missing field → ''."""
+    docs = [
+        {"id": "doc1", "title": "Paris", "text": "Paris is the capital of France."},
+        {"id": "doc2", "title": "Montreal", "text": "Montreal is the largest city in Quebec."},
+        {"id": "doc3", "title": "Bordeaux"},  # missing text field
+    ]
+    r = retrieve.BM25(
+        key="id", on=["title", "text"], spark=spark, state_dir=str(tmp_path / "s2")
+    )
+    r.add(r.encode_documents(docs))
+    q = r.encode_queries(["capital of France", "largest city in Quebec", "Bordeaux"])
+    out = r(q, k=3)
+    assert out[0][0]["id"] == "doc1"
+    assert out[1][0]["id"] == "doc2"
+    assert out[2][0]["id"] == "doc3"
+    assert isinstance(out[0][0]["id"], str)
+
+
+def test_duplicate_queries_reexpanded(spark, tmp_path):
+    r = retrieve.BM25(
+        key="id", on=["document"], spark=spark, state_dir=str(tmp_path / "s3")
+    )
+    r.add(r.encode_documents(DOCS1))
+    q = r.encode_queries(["Food", "Food", "Sports"])
+    out = r(q, k=2)
+    assert len(out) == 3
+    assert out[0] == out[1]
+    assert out[2][0]["id"] == 1
+
+
+def test_tfidf_identical_doc_query_cosine_one(spark):
+    r = retrieve.TfIdf(key="id", on=["document"], spark=spark)
+    r.add(r.encode_documents(DOCS1))
+    q = r.encode_queries(["Food"])
+    out = r(q, k=3)
+    assert out[0][0]["id"] == 0
+    assert out[0][0]["similarity"] == pytest.approx(1.0, rel=1e-9)
