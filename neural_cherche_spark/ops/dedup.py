@@ -32,9 +32,13 @@ def word_shingles(
 ) -> DataFrame:
     """(doc_id, shingle) distinct word n-gram shingles, JVM-side."""
     words = word_tokens_column(text_col)
+    # CASE guard: Spark's sequence(1, 0) is DESCENDING [1, 0], so a
+    # doc with fewer than n words would emit bogus empty shingles
     shingle_expr = (
-        f"transform(sequence(1, greatest(size(__words) - {n - 1}, 0)), "
-        f"i -> array_join(slice(__words, i, {n}), ' '))"
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> array_join(slice(__words, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
     return (
         docs.select(F.col(id_col), words.alias("__words"))

@@ -100,40 +100,63 @@ def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # distributed decode-and-score
 # ---------------------------------------------------------------------------
-def _decode_score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from neural_cherche_spark.index.codec import decode_block
+def _decode_score_fn(qmap_bc):
+    """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
+    inside the worker via a broadcast {term_id: (qids, qtfs)} dict, so
+    a hot block shared by Q queries is shuffled and decoded ONCE, not
+    Q times (a per-query join would duplicate every stopword-gram
+    block once per matching query)."""
 
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        qids, dids, scores = [], [], []
-        for qid, qtf, docs_bin, ws_bin in zip(
-            pdf["query_id"], pdf["qtf"], pdf["docs"], pdf["ws"]
-        ):
-            d, w = decode_block(docs_bin, ws_bin)
-            qids.append(np.full(d.size, qid, dtype=np.int64))
-            dids.append(d)
-            scores.append(w.astype(np.float64) * float(qtf))
-        out = pd.DataFrame(
-            {
-                "query_id": np.concatenate(qids),
-                "doc_id": np.concatenate(dids),
-                "score": np.concatenate(scores),
-            }
-        )
-        # partial map-side combine inside the batch
-        yield out.groupby(["query_id", "doc_id"], sort=False, as_index=False)[
-            "score"
-        ].sum()
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from neural_cherche_spark.index.codec import decode_block
+
+        qmap = qmap_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids, dids, scores = [], [], []
+            for tid, docs_bin, ws_bin in zip(
+                pdf["term_id"], pdf["docs"], pdf["ws"]
+            ):
+                hit = qmap.get(int(tid))
+                if hit is None:
+                    continue
+                d, w = decode_block(docs_bin, ws_bin)
+                wd = w.astype(np.float64)
+                for qid, qtf in hit:
+                    qids.append(np.full(d.size, qid, dtype=np.int64))
+                    dids.append(d)
+                    scores.append(wd * qtf)
+            if not dids:
+                continue
+            out = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids),
+                    "doc_id": np.concatenate(dids),
+                    "score": np.concatenate(scores),
+                }
+            )
+            # partial map-side combine inside the batch
+            yield out.groupby(
+                ["query_id", "doc_id"], sort=False, as_index=False
+            )["score"].sum()
+
+    return run
 
 
 def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
     qterms = _query_terms(index, queries)
-    joined = _pruned_postings(index, qterms).join(
-        F.broadcast(qterms.select("query_id", "term_id", "qtf")), "term_id"
-    )
-    partial = joined.select("query_id", "qtf", "docs", "ws").mapInPandas(
-        _decode_score_iter, _SCORE_SCHEMA
+    qmap: dict[int, list[tuple[int, float]]] = {}
+    for r in qterms.select("term_id", "query_id", "qtf").collect():
+        qmap.setdefault(int(r["term_id"]), []).append(
+            (int(r["query_id"]), float(r["qtf"]))
+        )
+    sc = index.spark.sparkContext
+    qmap_bc = sc.broadcast(qmap)
+    partial = (
+        _pruned_postings(index, qterms)
+        .select("term_id", "docs", "ws")
+        .mapInPandas(_decode_score_fn(qmap_bc), _SCORE_SCHEMA)
     )
     scored = (
         partial.groupBy("query_id", "doc_id")
