@@ -61,6 +61,30 @@ def main() -> None:
     docs.select(F.explode(ngram_terms_column("text")).alias("t")).count()
     timings["tokenize"] = time.perf_counter() - t0
 
+    # q4: compressed posting-list index build (full staged pipeline)
+    import shutil
+
+    from neural_cherche_spark.index.builder import build_index
+
+    idx_dir = "/tmp/bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    index = build_index(
+        spark, docs, idx_dir, id_col="doc_id", n_buckets=cpus, resume=False
+    )
+    timings["index_build_compressed"] = time.perf_counter() - t0
+
+    # q5/q6: batch QPS over the compressed index, corpus-derived queries
+    load_queries = docs.limit(64).select(
+        F.col("doc_id").alias("query_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')").alias("query"),
+    ).cache()
+    n_load = load_queries.count()
+    for mode in ("bmw", "distributed"):
+        t0 = time.perf_counter()
+        index.search(load_queries, k=10, mode=mode).collect()
+        timings[f"query_{mode}"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "bm25_engine_e2e",
@@ -73,7 +97,12 @@ def main() -> None:
         "n_queries": n_queries,
         "n_results": len(rows),
         "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
+        "docs_per_sec_compressed": round(
+            n_docs / timings["index_build_compressed"], 1
+        ),
         "qps_topk": round(n_queries / timings["bm25_topk"], 2),
+        "qps_bmw": round(n_load / timings["query_bmw"], 2),
+        "qps_distributed": round(n_load / timings["query_distributed"], 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -100,21 +100,33 @@ def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # distributed decode-and-score
 # ---------------------------------------------------------------------------
+# (query_id, doc_id) packed into one int64 key for the vectorized
+# combine: doc_id < 2^41 (10^12-doc design bound), query_id < 2^22.
+_DOC_BITS = 41
+
+
 def _decode_score_fn(qmap_bc):
     """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
-    inside the worker via a broadcast {term_id: (qids, qtfs)} dict, so
-    a hot block shared by Q queries is shuffled and decoded ONCE, not
-    Q times (a per-query join would duplicate every stopword-gram
-    block once per matching query)."""
+    inside the worker via a broadcast {term_id: (qids[], qtfs[])}
+    dict, so a hot block shared by Q queries is shuffled and decoded
+    ONCE, not Q times (a per-query join would duplicate every
+    stopword-gram block once per matching query).
+
+    The (posting × matching-query) expansion — the irreducible work of
+    exact scoring — is a handful of C-level numpy ops per TERM
+    (tile/repeat/outer), and the per-batch combine is one np.unique
+    over packed (query_id, doc_id) keys. No per-block Python loops on
+    tiny arrays."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from neural_cherche_spark.index.codec import decode_block
 
         qmap = qmap_bc.value
+        mask = (1 << _DOC_BITS) - 1
         for pdf in batches:
             if pdf.empty:
                 continue
-            qids, dids, scores = [], [], []
+            per_term: dict[int, tuple[list, list]] = {}
             for tid, docs_bin, ws_bin in zip(
                 pdf["term_id"], pdf["docs"], pdf["ws"]
             ):
@@ -122,35 +134,52 @@ def _decode_score_fn(qmap_bc):
                 if hit is None:
                     continue
                 d, w = decode_block(docs_bin, ws_bin)
-                wd = w.astype(np.float64)
-                for qid, qtf in hit:
-                    qids.append(np.full(d.size, qid, dtype=np.int64))
-                    dids.append(d)
-                    scores.append(wd * qtf)
-            if not dids:
+                buf = per_term.setdefault(int(tid), ([], []))
+                buf[0].append(d)
+                buf[1].append(w)
+            if not per_term:
                 continue
-            out = pd.DataFrame(
+            key_parts, val_parts = [], []
+            for tid, (dl, wl) in per_term.items():
+                d = np.concatenate(dl)
+                w = np.concatenate(wl).astype(np.float64)
+                qids, qtfs = qmap[tid]
+                # K×n expansion in C: scores outer product, keys packed
+                scores = (qtfs[:, None] * w[None, :]).ravel()
+                keys = (
+                    (qids.astype(np.int64) << _DOC_BITS)[:, None] | d[None, :]
+                ).ravel()
+                key_parts.append(keys)
+                val_parts.append(scores)
+            key = np.concatenate(key_parts)
+            val = np.concatenate(val_parts)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.bincount(inv, weights=val)
+            yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(qids),
-                    "doc_id": np.concatenate(dids),
-                    "score": np.concatenate(scores),
+                    "query_id": (uk >> _DOC_BITS).astype(np.int64),
+                    "doc_id": (uk & mask).astype(np.int64),
+                    "score": sums,
                 }
             )
-            # partial map-side combine inside the batch
-            yield out.groupby(
-                ["query_id", "doc_id"], sort=False, as_index=False
-            )["score"].sum()
 
     return run
 
 
 def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
     qterms = _query_terms(index, queries)
-    qmap: dict[int, list[tuple[int, float]]] = {}
+    tmp: dict[int, list[tuple[int, float]]] = {}
     for r in qterms.select("term_id", "query_id", "qtf").collect():
-        qmap.setdefault(int(r["term_id"]), []).append(
+        tmp.setdefault(int(r["term_id"]), []).append(
             (int(r["query_id"]), float(r["qtf"]))
         )
+    qmap = {
+        tid: (
+            np.array([q for q, _ in lst], dtype=np.int64),
+            np.array([t for _, t in lst], dtype=np.float64),
+        )
+        for tid, lst in tmp.items()
+    }
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
     partial = (

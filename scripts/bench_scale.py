@@ -58,13 +58,19 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
     )
     build_s = time.perf_counter() - t0
 
+    # distributed = bulk batch mode (decode-once fan-out); bmw = the
+    # selective per-query mode, measured at a small interactive batch
     queries = synth_queries(spark, n_queries, seed=123).cache()
     queries.count()
+    bmw_queries = synth_queries(spark, min(n_queries, 64), seed=123).cache()
+    n_bmw = bmw_queries.count()
     timings = {}
-    for mode in ("bmw", "distributed"):
-        t0 = time.perf_counter()
-        index.search(queries, k=10, mode=mode).collect()
-        timings[mode] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index.search(queries, k=10, mode="distributed").collect()
+    timings["distributed"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index.search(bmw_queries, k=10, mode="bmw").collect()
+    timings["bmw"] = time.perf_counter() - t0
 
     out = {
         "cpus": cpus,
@@ -77,7 +83,8 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
         "tokenize_docs_per_s": round(n / tok_s, 1),
         "query_bmw_s": round(timings["bmw"], 3),
         "query_dist_s": round(timings["distributed"], 3),
-        "qps_bmw": round(n_queries / timings["bmw"], 2),
+        "n_bmw_queries": n_bmw,
+        "qps_bmw": round(n_bmw / timings["bmw"], 2),
         "qps_dist": round(n_queries / timings["distributed"], 2),
     }
     with open(out_json, "w") as f:
@@ -144,8 +151,8 @@ Raw walls (seconds):
 |---|---|---|
 | tokenize+count | {r8['tokenize_s']} | {r32['tokenize_s']} |
 | full index build | {r8['build_s']} | {r32['build_s']} |
-| query batch bmw ({args.n_queries} queries) | {r8['query_bmw_s']} | {r32['query_bmw_s']} |
-| query batch distributed | {r8['query_dist_s']} | {r32['query_dist_s']} |
+| query batch bmw ({r8['n_bmw_queries']} queries, selective mode) | {r8['query_bmw_s']} | {r32['query_bmw_s']} |
+| query batch distributed ({args.n_queries} queries, bulk mode) | {r8['query_dist_s']} | {r32['query_dist_s']} |
 
 Caveats: local mode shares one JVM/page cache (no network shuffle);
 wall times include fixed job-scheduling overhead that dampens small-N
