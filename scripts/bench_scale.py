@@ -35,10 +35,14 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
     from neural_cherche_spark.index.builder import build_index
     from neural_cherche_spark.text.ngrams import ngram_terms_column
 
+    # shuffle partitions FIXED across parallelism levels: the logical
+    # plan and partition sizes must be identical — only executor slots
+    # vary. (Scaling partitions down with cores makes the low-N run
+    # spill and fabricates superlinear speedup.)
     spark = get_spark(
         app_name=f"bench_scale_{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=64,
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
     )
     docs = spark.read.parquet(DATA)
