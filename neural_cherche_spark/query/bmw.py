@@ -182,9 +182,14 @@ def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
     }
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
+    # coalesce (no shuffle) to ~slot count: fewer, bigger decode tasks
+    # maximize in-task combine of the (query_id, doc_id) partials —
+    # many small scan splits would emit nearly-undeduplicated partials
+    # and blow up the downstream shuffle.
     partial = (
         _pruned_postings(index, qterms)
         .select("term_id", "docs", "ws")
+        .coalesce(max(sc.defaultParallelism, 1))
         .mapInPandas(_decode_score_fn(qmap_bc), _SCORE_SCHEMA)
     )
     scored = (
