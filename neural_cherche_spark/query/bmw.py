@@ -299,9 +299,53 @@ def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def search_auto(
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    heavy_postings_threshold: int = 500_000,
+) -> DataFrame:
+    """Route each query to the mode that fits its cost profile.
+
+    Selective queries (small total matched-postings volume, from the
+    termdict df statistics) go to the per-query block-max path; heavy
+    (stopword-gram) queries — whose groups would straggle — go to the
+    bulk decode-and-score path. The two result sets are disjoint by
+    query_id, so a union preserves exactness.
+    """
+    qterms = _query_terms(index, queries)
+    vol = (
+        qterms.join(
+            index.termdict.select("term_id", "df"), "term_id"
+        )
+        .groupBy("query_id")
+        .agg(F.sum("df").alias("matched_postings"))
+    )
+    heavy_ids = [
+        r["query_id"]
+        for r in vol.filter(
+            F.col("matched_postings") > heavy_postings_threshold
+        ).collect()
+    ]
+    light = queries.filter(~F.col("query_id").isin(heavy_ids)) if heavy_ids else queries
+    heavy = queries.filter(F.col("query_id").isin(heavy_ids))
+    parts = []
+    if not heavy_ids:
+        return search_bmw(index, light, k)
+    if light.limit(1).count() > 0:
+        parts.append(search_bmw(index, light, k))
+    parts.append(search_distributed(index, heavy, k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def search_index(index, queries: DataFrame, k: int = 10, mode: str = "bmw") -> DataFrame:
     if mode == "bmw":
         return search_bmw(index, queries, k)
     if mode == "distributed":
         return search_distributed(index, queries, k)
+    if mode == "auto":
+        return search_auto(index, queries, k)
     raise ValueError(f"unknown mode {mode!r}")

@@ -60,6 +60,18 @@ def _collect_topk(df):
     return out
 
 
+def test_auto_mode_routes_and_stays_exact(index, queries, exact_topk):
+    """auto mode must split the batch (threshold forces both paths
+    here) and remain rank-identical to the exact path."""
+    from neural_cherche_spark.query.bmw import search_auto
+
+    got = _collect_topk(search_auto(index, queries, k=10,
+                                    heavy_postings_threshold=2000))
+    assert set(got) == set(exact_topk)
+    for qid in exact_topk:
+        assert_rank_identical(got[qid], exact_topk[qid], rtol=2e-3)
+
+
 @pytest.mark.parametrize("mode", ["distributed", "bmw"])
 def test_index_search_rank_identical_to_exact(index, queries, exact_topk, mode):
     got = _collect_topk(index.search(queries, k=10, mode=mode))
