@@ -37,7 +37,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("bm25_index_build").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from neural_cherche_spark.data import synth_queries
+    from pyspark.sql import functions as F
+
     from neural_cherche_spark.index.builder import build_index
 
     docs = spark.read.parquet(args.input)
@@ -49,7 +50,21 @@ def main() -> None:
     )
     build_s = time.perf_counter() - t0
 
-    queries = synth_queries(spark, args.queries, seed=99)
+    # query the corpus's RAREST words: rare terms have positive idf, so
+    # results are non-empty on any vocabulary (reference semantics drop
+    # scores ≤ 0, and stopwords get negative idf when tf_total > N)
+    rare = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").asc(), F.col("w").asc())
+        .limit(args.queries)
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(i, r["w"]) for i, r in enumerate(rare)], "query_id long, query string"
+    )
     t0 = time.perf_counter()
     n_res = index.search(queries, k=args.k, mode=args.mode).count()
     query_s = time.perf_counter() - t0
