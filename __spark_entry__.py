@@ -200,6 +200,60 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The compressed index stores float32 weights (reference bm25.py:151-153
+# parity); the exact oracle computes in double. 4-dp rounding puts both
+# on the same grid (f32 error ~1e-6 at score magnitude ~2.4).
+_COMPRESSED_DP = 4
+
+
+def _entry_index(spark: SparkSession, sf_dir: str):
+    """Build (or resume) the on-disk compressed index for sf_dir under
+    /tmp — the production-shaped artifact the BMW/distributed entries
+    query. Content-aware fingerprint makes resume safe across runs."""
+    import hashlib
+
+    from neural_cherche_spark.index.builder import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return build_index(
+        spark,
+        _docs(spark, sf_dir),
+        f"/tmp/ncs_entry_idx_{tag}",
+        id_col="doc_id",
+        n_buckets=8,
+        salt_every=1000,
+    )
+
+
+def _q_bm25_topk_compressed(mode: str):
+    """CORRECTNESS gate for the compressed-index query paths: build →
+    search_{bmw,distributed} → same oracle SQL as bm25_topk (at 4 dp).
+    Rank is recomputed on the ROUNDED score so both engines rank on
+    the same grid."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        idx = _entry_index(spark, sf_dir)
+        res = (
+            idx.search(_queries_df(spark), k=TOP_K, mode=mode)
+            .select(
+                "query_id",
+                "doc_id",
+                F.round("score", _COMPRESSED_DP).alias("score"),
+            )
+            .filter(F.col("score") > 0)
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return res.withColumn(
+            "rank", F.row_number().over(win).cast("long")
+        ).select("query_id", "doc_id", "score", "rank")
+
+    return q
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over L2-normalized smoothed tf-idf (reference
     retrieve.TfIdf semantics; SURVEY §2.9 TfIdf variant)."""
@@ -438,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "bm25_weights": _q_bm25_weights,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
+        "bm25_topk_distributed": _q_bm25_topk_compressed("distributed"),
         "tfidf_topk": _q_tfidf_topk,
         "field_concat": _q_field_concat,
         "dedup_exact": _q_dedup_exact,
@@ -504,6 +560,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
         """,
+        # compressed-index paths: identical retrieval semantics, scored
+        # on the 4-dp grid (float32 stored weights vs double oracle)
+        **{
+            name: f"""
+            WITH {_TOK_DOCS}, {_BM25_WEIGHTS}, {_TOK_QUERIES},
+            scored AS (
+              SELECT qtf.query_id, weights.doc_id,
+                     round(sum(qtf.qtf * weights.w), {_COMPRESSED_DP}) AS score
+              FROM qtf JOIN weights USING (term)
+              GROUP BY 1, 2
+              HAVING round(sum(qtf.qtf * weights.w), {_COMPRESSED_DP}) > 0
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+        """
+            for name in ("bm25_topk_bmw", "bm25_topk_distributed")
+        },
         "tfidf_topk": f"""
             WITH {_TOK_DOCS}, {_TOK_QUERIES},
             dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

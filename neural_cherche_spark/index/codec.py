@@ -22,6 +22,22 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def doc_salt(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
+    """Salt/subgroup assignment of a doc id — the numpy twin of the
+    builder's Spark-side expression (index/builder.py salt column).
+    Both sides MUST agree bit-for-bit: the build partitions each head
+    term's posting list by this function, and the block-max query path
+    re-derives ownership to split heavy per-query groups into disjoint
+    doc subsets (query/bmw.py).
+
+    Mixing in two shifted copies breaks low-bit stride patterns in
+    user-supplied ids (all-even ids etc.); ids are < 2^41 so the sum
+    never overflows int64. For the default dense ids this is uniform.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    return (d + (d >> 7) + (d >> 15)) % np.int64(n_salts)
+
+
 def varint_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128-encode a uint64 array, vectorized (10 passes max).
 
@@ -135,6 +151,7 @@ def encode_partition_bulk(
             "last_doc": np.empty(0, dtype=np.int64),
             "max_w": np.empty(0, dtype=np.float64),
             "min_w": np.empty(0, dtype=np.float64),
+            "n_bytes": np.empty(0, dtype=np.int64),
             "docs": [],
             "ws": [],
         }
@@ -178,6 +195,11 @@ def encode_partition_bulk(
         "last_doc": doc_ids[block_ends - 1],
         "max_w": np.maximum.reduceat(weights, block_starts).astype(np.float64),
         "min_w": np.minimum.reduceat(weights, block_starts).astype(np.float64),
+        # stored size per block (varint docs + f32 weights): lets the
+        # lineage/metrics stage aggregate bytes WITHOUT re-reading the
+        # binary columns (column-pruned scan at 100 TB)
+        "n_bytes": (byte_off[block_ends] - byte_off[block_starts])
+        + 4 * (block_ends - block_starts),
         "docs": docs_bin,
         "ws": ws_bin,
     }

@@ -208,18 +208,53 @@ def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 # block-max pruned per-query scoring
 # ---------------------------------------------------------------------------
-def _accumulate(doc_arrays, score_arrays):
-    docs = np.concatenate(doc_arrays)
-    scores = np.concatenate(score_arrays)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    return uniq, np.bincount(inv, weights=scores)
+def _run_suffix_bounds(run_key: np.ndarray, ub: np.ndarray) -> np.ndarray:
+    """Tight unseen-doc upper bounds for every suffix of a block order.
+
+    Blocks are given in descending-ub processing order; ``run_key[i]``
+    identifies the (term_id, salt) run of the i-th block. A doc appears
+    in at most ONE block per run, so the best score any unseen doc can
+    still reach from blocks i..end is Σ over runs of the MAX remaining
+    block ub of that run — NOT the sum over all remaining blocks (the
+    round-1 bound, looser by ~blocks-per-run).
+
+    Returns ``bound`` of length n+1 with ``bound[i]`` = that per-run
+    suffix-max sum for blocks i..end (``bound[n] == 0``). Vectorized:
+    each block contributes its ub exactly on the suffix positions where
+    it is the first remaining block of its run — the interval
+    (prev_same_run_pos, own_pos] — accumulated via a difference array.
+    """
+    n = run_key.size
+    bound = np.zeros(n + 1, dtype=np.float64)
+    if n == 0:
+        return bound
+    # prev[i] = position of the previous block of the same run (or -1)
+    by_run = np.lexsort((np.arange(n), run_key))
+    prev = np.full(n, -1, dtype=np.int64)
+    same = run_key[by_run][1:] == run_key[by_run][:-1]
+    prev[by_run[1:][same]] = by_run[:-1][same]
+    diff = np.zeros(n + 1, dtype=np.float64)
+    np.add.at(diff, prev + 1, ub)
+    np.add.at(diff, np.arange(1, n + 1), -ub)
+    np.cumsum(diff[:-1], out=bound[:-1])
+    return bound
 
 
 def _bmw_group_fn(k: int):
+    """One (query_id, subgroup) group: block-max pruned exact top-k.
+
+    The accumulator is a sorted-merge (searchsorted + insert) instead
+    of re-running np.unique over the growing accumulator each chunk —
+    per-chunk cost is O(chunk log chunk + |acc|) memcpy, not
+    O(|acc| log |acc|) sort (round-1 NOTES #1).
+    """
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from neural_cherche_spark.index.codec import decode_block
+        from neural_cherche_spark.index.codec import decode_block, doc_salt
 
         qid = int(pdf["query_id"].iloc[0])
+        grp = int(pdf["grp"].iloc[0])
+        n_groups = int(pdf["n_groups"].iloc[0])
         qtf = pdf["qtf"].to_numpy(dtype=np.float64)
         ub = qtf * pdf["max_w"].to_numpy(dtype=np.float64)
         prunable = bool((pdf["idf"].to_numpy() >= 0).all())
@@ -227,48 +262,77 @@ def _bmw_group_fn(k: int):
         order = np.argsort(-ub, kind="mergesort")
         docs_col = pdf["docs"].to_numpy()
         ws_col = pdf["ws"].to_numpy()
+        # run key: salt < 2^20 (cap 1024), term_id < 2^40 → fits int64
+        run_key = (
+            pdf["term_id"].to_numpy(dtype=np.int64) << np.int64(20)
+        ) | pdf["salt"].to_numpy(dtype=np.int64)
+        suffix_bound = (
+            _run_suffix_bounds(run_key[order], ub[order]) if prunable else None
+        )
 
-        d_acc: list[np.ndarray] = []
-        s_acc: list[np.ndarray] = []
-        processed = np.zeros(len(pdf), dtype=bool)
+        acc_d = np.empty(0, dtype=np.int64)
+        acc_s = np.empty(0, dtype=np.float64)
 
-        def decode_into(idx_list, doc_filter=None):
+        def decode_chunk(idx_list, doc_filter=None):
+            dl, sl = [], []
             for i in idx_list:
                 d, w = decode_block(docs_col[i], ws_col[i])
-                s = w.astype(np.float64) * qtf[i]
-                if doc_filter is not None:
+                if n_groups > 1:
+                    # subgroup ownership: this group scores ONLY its own
+                    # doc shard (blocks of low-salt terms are replicated
+                    # across subgroups; each keeps a disjoint doc subset)
+                    m = doc_salt(d, n_groups) == grp
+                    d, w = d[m], w[m]
+                if doc_filter is not None and d.size:
                     m = np.isin(d, doc_filter)
-                    d, s = d[m], s[m]
+                    d, w = d[m], w[m]
                 if d.size:
-                    d_acc.append(d)
-                    s_acc.append(s)
-                processed[i] = True
+                    dl.append(d)
+                    sl.append(w.astype(np.float64) * qtf[i])
+            return dl, sl
+
+        def merge(dl, sl):
+            nonlocal acc_d, acc_s
+            if not dl:
+                return
+            nd = np.concatenate(dl)
+            uniq, inv = np.unique(nd, return_inverse=True)
+            sums = np.bincount(inv, weights=np.concatenate(sl))
+            if acc_d.size == 0:
+                acc_d, acc_s = uniq, sums
+                return
+            pos = np.searchsorted(acc_d, uniq)
+            hit = np.zeros(uniq.size, dtype=bool)
+            inr = pos < acc_d.size
+            hit[inr] = acc_d[pos[inr]] == uniq[inr]
+            acc_s[pos[hit]] += sums[hit]
+            miss = ~hit
+            if miss.any():
+                acc_d = np.insert(acc_d, pos[miss], uniq[miss])
+                acc_s = np.insert(acc_s, pos[miss], sums[miss])
 
         if not prunable:
-            decode_into(order)
+            merge(*decode_chunk(order))
         else:
             chunk = max(64, 4 * k)
             pos = 0
             while pos < order.size:
-                decode_into(order[pos : pos + chunk])
+                merge(*decode_chunk(order[pos : pos + chunk]))
                 pos += chunk
-                if not d_acc:
-                    continue
-                uniq, sums = _accumulate(d_acc, s_acc)
-                if uniq.size >= k:
-                    theta = np.partition(sums, -k)[-k]
-                    remaining_ub = float(ub[order[pos:]].sum())
+                if acc_d.size >= k:
+                    theta = np.partition(acc_s, -k)[-k]
+                    remaining_ub = float(suffix_bound[pos]) if pos < order.size else 0.0
                     if remaining_ub < theta:
                         # no unseen doc can reach top-k; finish exact
                         # scores for surviving candidates only
-                        cand = uniq[sums + remaining_ub >= theta]
-                        decode_into(order[pos:], doc_filter=cand)
+                        cand = acc_d[acc_s + remaining_ub >= theta]
+                        merge(*decode_chunk(order[pos:], doc_filter=cand))
                         break
-        if not d_acc:
-            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
-        uniq, sums = _accumulate(d_acc, s_acc)
+        uniq, sums = acc_d, acc_s
         pos_mask = sums > 0
         uniq, sums = uniq[pos_mask], sums[pos_mask]
+        if uniq.size == 0:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         if uniq.size > k:
             # deterministic cut: score desc, doc_id asc — must match the
             # exact path's tie-break so rank-identity holds under ties
@@ -282,13 +346,41 @@ def _bmw_group_fn(k: int):
 
 
 def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Block-max pruned top-k with heavy-group salt sharding.
+
+    Per-query parallelism: a query whose matched terms include salted
+    head grams is split into ``n_groups = max(n_salts)`` subgroups, one
+    per doc shard (codec.doc_salt residue). Every term's salt count is
+    a power of two dividing n_groups, so a block with salt j serves the
+    subgroups g ≡ j (mod n_salts) — blocks of low-salt (rare) terms
+    are replicated across subgroups but are tiny by construction, while
+    the heavy salted runs (the actual work) partition cleanly. Each
+    subgroup computes EXACT scores for its disjoint doc shard, so the
+    union of per-subgroup top-ks contains the global top-k.
+    """
     qterms = _query_terms(index, queries)
-    joined = _pruned_postings(index, qterms).join(
-        F.broadcast(qterms.select("query_id", "term_id", "qtf", "idf")), "term_id"
+    qsplit = qterms.groupBy("query_id").agg(
+        F.max("n_salts").alias("n_groups")
+    )
+    qt = qterms.join(qsplit, "query_id").select(
+        "query_id", "term_id", "qtf", "idf", "n_salts", "n_groups"
+    )
+    joined = _pruned_postings(index, qterms).join(F.broadcast(qt), "term_id")
+    expanded = joined.withColumn(
+        "grp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(n_groups / n_salts as int) - 1), "
+                "m -> salt + m * n_salts)"
+            )
+        ),
     )
     scored = (
-        joined.select("query_id", "qtf", "idf", "max_w", "docs", "ws")
-        .groupBy("query_id")
+        expanded.select(
+            "query_id", "grp", "n_groups", "term_id", "salt",
+            "qtf", "idf", "max_w", "docs", "ws",
+        )
+        .groupBy("query_id", "grp")
         .applyInPandas(_bmw_group_fn(k), _SCORE_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -64,7 +64,7 @@ class IncrementalBM25Builder:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
-        return {"n_batches": 0, "n_docs": 0}
+        return {"n_batches": 0, "n_docs": 0, "applied_epochs": {}}
 
     def _save_meta(self, m: dict) -> None:
         with open(self._p("meta.json"), "w") as f:
@@ -75,17 +75,33 @@ class IncrementalBM25Builder:
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
     # -- reference add() --------------------------------------------------
-    def add_batch(self, docs: DataFrame) -> "IncrementalBM25Builder":
+    def add_batch(
+        self, docs: DataFrame, epoch_id: int | None = None
+    ) -> "IncrementalBM25Builder":
+        """One reference-``add()``. ``epoch_id`` (the foreachBatch batch
+        id) makes replays idempotent: Structured Streaming delivers
+        micro-batches AT-LEAST-once, so a batch replayed after a crash
+        must not double-count tf / n_docs. Every per-batch write below
+        is an overwrite of a batch-keyed location, and an epoch already
+        recorded in meta.json is a no-op — so a crash at ANY point
+        between writes replays cleanly."""
         cfg, idc = self.cfg, self.id_col
         meta = self._meta()
+        if epoch_id is not None and str(epoch_id) in meta.get(
+            "applied_epochs", {}
+        ):
+            return self
         batch_id = meta["n_batches"]
 
         tf_b = term_frequencies(
             docs, self.text_col, idc, cfg.n_min, cfg.n_max
         )
         if batch_id == 0:
-            # fit-once vocabulary (tfidf.py:114-117)
-            tf_b.select("term").distinct().write.parquet(self._p("vocab"))
+            # fit-once vocabulary (tfidf.py:114-117); overwrite so a
+            # replayed first batch doesn't fail on the existing path
+            tf_b.select("term").distinct().write.mode("overwrite").parquet(
+                self._p("vocab")
+            )
         else:
             # frozen vectorizer: unseen terms drop (tfidf.py:134-135)
             vocab = self._read("vocab")
@@ -102,7 +118,11 @@ class IncrementalBM25Builder:
         n_batch_docs = dl_b.count()
         avgdl = dl_b.agg(F.avg("dl")).collect()[0][0] or 0.0
 
-        tf_b.write.mode("append").parquet(self._p("tf"))
+        # batch-keyed partition dir: a replay OVERWRITES its own batch's
+        # rows instead of appending a duplicate copy
+        tf_b.write.mode("overwrite").parquet(
+            self._p(f"tf/batch={batch_id}")
+        )
 
         # GLOBAL accumulated tf (bm25.py:155-157) and n_docs including
         # this batch (bm25.py:180-190)
@@ -162,10 +182,14 @@ class IncrementalBM25Builder:
             full.join(norms, "term")
             .withColumn("w", F.col("w2") / F.col("nrm"))
             .select(idc, "term", "w")
-            .write.parquet(self._p(f"w_v{batch_id}"))
+            .write.mode("overwrite")  # replay-safe snapshot write
+            .parquet(self._p(f"w_v{batch_id}"))
         )
         tf_b.unpersist()
 
+        applied = meta.setdefault("applied_epochs", {})
+        if epoch_id is not None:
+            applied[str(epoch_id)] = batch_id
         meta.update(n_batches=batch_id + 1, n_docs=n_docs)
         self._save_meta(meta)
         return self
@@ -205,7 +229,9 @@ def stream_build(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda batch_df, _bid: builder.add_batch(batch_df)
+            # pass the epoch id through: foreachBatch is at-least-once,
+            # add_batch dedupes replayed epochs (ADVICE r1 medium)
+            lambda batch_df, bid: builder.add_batch(batch_df, epoch_id=bid)
         )
         .option("checkpointLocation", os.path.join(state_dir, "_stream_ckpt"))
         .trigger(availableNow=True)

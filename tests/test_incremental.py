@@ -51,6 +51,34 @@ def test_unseen_terms_dropped_after_fit(spark, tmp_path):
     assert b.retrieve(queries, k=4).count() == 0
 
 
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch must not
+    double-count tf / n_docs (ADVICE r1 medium)."""
+    b = IncrementalBM25Builder(spark, str(tmp_path / "state"))
+    batch = spark.createDataFrame(CORPUS_A_BATCH1, "doc_id long, text string")
+    b.add_batch(batch, epoch_id=0)
+    m1 = b._meta()
+    tf1 = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in spark.read.parquet(str(tmp_path / "state" / "tf")).collect()
+    )
+    b.add_batch(batch, epoch_id=0)  # replay: must be a no-op
+    m2 = b._meta()
+    tf2 = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in spark.read.parquet(str(tmp_path / "state" / "tf")).collect()
+    )
+    assert m1["n_batches"] == m2["n_batches"] == 1
+    assert m1["n_docs"] == m2["n_docs"] == len(CORPUS_A_BATCH1)
+    assert tf1 == tf2
+    # a NEW epoch still applies
+    b.add_batch(
+        spark.createDataFrame(CORPUS_A_BATCH2, "doc_id long, text string"),
+        epoch_id=1,
+    )
+    assert b._meta()["n_batches"] == 2
+
+
 def test_stream_build_matches_batch_adds(spark, tmp_path):
     """foreachBatch micro-batches accumulate the same tf state as
     direct add_batch calls (tf content is batch-order-independent)."""
