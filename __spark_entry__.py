@@ -336,6 +336,33 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=32)
 
 
+def _q_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.dedup import simhash, simhash_neighbors
+
+    fp = simhash(_docs(spark, sf_dir), bits=32)
+    return simhash_neighbors(fp, max_hamming=3, bits=32).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_cherche_spark.ops.ann import lsh_banded_cosine_scores
+    from pyspark.sql import Window
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = lsh_banded_cosine_scores(
+        vecs, bands=4, planes_per_band=4, seed=42
+    ).withColumn("cos", F.round("cos", 6))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("vec_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.ops.ann import cosine_scores
     from pyspark.sql import Window
@@ -427,6 +454,94 @@ def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sparse neural retrieval (Splade / SparseEmbed semantics, torch-free)
+# ---------------------------------------------------------------------------
+# Deterministic activation fixture: dim i of the embeddings table is
+# "token" i, activated where the value exceeds 0.2 (ReLU-thresholded —
+# ~19 of 64 dims). Queries are vec_id < 5.
+_ACT_THRESHOLD = 0.2
+
+
+def _activations(spark: SparkSession, sf_dir: str, queries: bool) -> DataFrame:
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if queries:
+        vecs = vecs.filter(F.col("vec_id") < 5)
+    id_name = "query_id" if queries else "doc_id"
+    return (
+        vecs.select(F.col("vec_id").alias(id_name), F.posexplode("embedding"))
+        .select(
+            id_name,
+            F.col("pos").cast("long").alias("term_id"),
+            F.col("col").cast("double").alias("weight"),
+        )
+        .filter(F.col("weight") > _ACT_THRESHOLD)
+    )
+
+
+def _token_embs(spark: SparkSession, sf_dir: str, queries: bool) -> DataFrame:
+    """Per-(id, activated term) 16-dim token embedding: a deterministic
+    slice of the base vector (token t ↦ dims (t%4)*16 .. +16)."""
+    acts = _activations(spark, sf_dir, queries)
+    id_name = "query_id" if queries else "doc_id"
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias(id_name), "embedding"
+    )
+    return acts.join(vecs, id_name).select(
+        id_name,
+        "term_id",
+        F.expr(
+            "slice(embedding, cast(term_id % 4 as int) * 16 + 1, 16)"
+        ).alias("emb"),
+    )
+
+
+def _rank10(scored: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _q_splade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference retrieve.Splade semantics (splade.py:23-78): sparse
+    dot product over activations, top-k. Ranked on the 6-dp grid."""
+    from neural_cherche_spark.ops.sparse_neural import splade_scores
+
+    scored = splade_scores(
+        _activations(spark, sf_dir, queries=False),
+        _activations(spark, sf_dir, queries=True),
+    ).withColumn("score", F.round("score", 6))
+    return _rank10(scored)
+
+
+def _q_sparse_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference retrieve.SparseEmbed semantics (sparse_embed.py:341-452):
+    activation-overlap candidates, token-intersection re-scoring.
+    candidates uncut (exact mode) so both engines cut only once, on the
+    rounded final score."""
+    from neural_cherche_spark.ops.sparse_neural import (
+        sparse_embed_scores,
+        splade_scores,
+    )
+
+    dacts = _activations(spark, sf_dir, queries=False)
+    qacts = _activations(spark, sf_dir, queries=True)
+    cands = splade_scores(dacts, qacts).select("query_id", "doc_id")
+    scored = sparse_embed_scores(
+        cands,
+        _token_embs(spark, sf_dir, queries=False),
+        _token_embs(spark, sf_dir, queries=True),
+    ).withColumn("score", F.round("score", 6))
+    return _rank10(scored)
+
+
 def _q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR metrics (SURVEY A8) of the BM25 run against deterministic
     synthetic qrels: doc relevant to query i iff doc_id % 7 == i."""
@@ -466,6 +581,33 @@ shingles AS (
 )
 """
 
+# simhash fingerprint pipeline (shared by the `simhash` and
+# `simhash_neighbors` oracle entries)
+_DUCK_SIMHASH = rf"""
+{_DUCK_WORDS},
+wtf AS (
+  SELECT doc_id, uw.x AS word, count(*) AS tf
+  FROM dwords, LATERAL unnest(w) AS uw(x)
+  GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+  FROM wtf
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h, LATERAL unnest(range(0, 32)) AS b(bit)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit::INT ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+)
+"""
+
 _DUCK_COS_PAIRS = """
 e AS (SELECT vec_id, embedding AS v FROM embeddings),
 nrm AS (
@@ -500,13 +642,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "simhash_neighbors": _q_simhash_neighbors,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_banded_topk": _q_ann_lsh_banded_topk,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
         "colbert_maxsim": _q_colbert_maxsim,
+        "splade_topk": _q_splade_topk,
+        "sparse_embed_topk": _q_sparse_embed_topk,
         "eval_metrics": _q_eval_metrics,
     }
 
@@ -672,26 +818,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE i / (sa.sz + sb.sz - i) >= 0.05
         """,
         "simhash": f"""
-            WITH {_DUCK_WORDS},
-            wtf AS (
-              SELECT doc_id, uw.x AS word, count(*) AS tf
-              FROM dwords, LATERAL unnest(w) AS uw(x)
-              GROUP BY 1, 2
-            ),
-            h AS (
-              SELECT doc_id, tf,
-                     ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
-              FROM wtf
-            ),
-            bits AS (
-              SELECT doc_id, bit,
-                     sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v
-              FROM h, LATERAL unnest(range(0, 32)) AS b(bit)
-              GROUP BY 1, 2
-            )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << bit::INT ELSE 0 END) AS BIGINT) AS simhash
-            FROM bits GROUP BY 1
+            WITH {_DUCK_SIMHASH}
+            SELECT doc_id, simhash FROM sh
+        """,
+        # oracle is the all-pairs brute force — structurally different
+        # from the engine's pigeonhole chunk-join, so the blocking
+        # completeness itself is what's verified
+        "simhash_neighbors": f"""
+            WITH {_DUCK_SIMHASH}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_cosine_topk": f"""
             WITH {_DUCK_COS_PAIRS},
@@ -736,6 +874,44 @@ def oracle_sql() -> dict[str, str]:
                                 i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
                        / (a.nr * b.nr), 6) AS cos
               FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "ann_lsh_banded_topk": f"""
+            WITH {_DUCK_COS_PAIRS},
+            plane_dots AS (
+              SELECT n.vec_id, up.p,
+                     sum(n.v[(ud.d + 1)::INT]::DOUBLE *
+                         ((('0x' || substr(md5('42:' || up.p || ':' || ud.d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS pd
+              FROM nrm n,
+                   LATERAL unnest(range(0, 16)) AS up(p),
+                   LATERAL unnest(range(0, len(n.v))) AS ud(d)
+              GROUP BY 1, 2
+            ),
+            band_sigs AS (
+              SELECT vec_id, (p // 4)::INT AS band,
+                     CAST(sum(CASE WHEN pd > 0 THEN 1::BIGINT << (p % 4)::INT ELSE 0 END) AS BIGINT) AS band_sig
+              FROM plane_dots GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+              FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+              WHERE a.vec_id <> b.vec_id
+            ),
+            scored AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(x.v) + 1),
+                                i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE))
+                       / (x.nr * y.nr), 6) AS cos
+              FROM cand c
+              JOIN nrm x ON x.vec_id = c.vec_id
+              JOIN nrm y ON y.vec_id = c.neighbor_id
             )
             SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
             FROM (
@@ -824,6 +1000,75 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
               ) AS rnk FROM scored
             ) WHERE rnk <= 5
+        """,
+        "splade_topk": f"""
+            WITH dacts AS (
+              SELECT vec_id AS doc_id, (i - 1)::BIGINT AS term_id,
+                     embedding[i]::DOUBLE AS weight
+              FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+              WHERE embedding[i]::DOUBLE > {_ACT_THRESHOLD}
+            ),
+            qacts AS (
+              SELECT vec_id AS query_id, (i - 1)::BIGINT AS term_id,
+                     embedding[i]::DOUBLE AS weight
+              FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+              WHERE vec_id < 5 AND embedding[i]::DOUBLE > {_ACT_THRESHOLD}
+            ),
+            scored AS (
+              SELECT q.query_id, d.doc_id,
+                     round(sum(q.weight * d.weight), 6) AS score
+              FROM qacts q JOIN dacts d USING (term_id)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= {TOP_K}
+        """,
+        "sparse_embed_topk": f"""
+            WITH dacts AS (
+              SELECT vec_id AS doc_id, (i - 1)::BIGINT AS term_id
+              FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+              WHERE embedding[i]::DOUBLE > {_ACT_THRESHOLD}
+            ),
+            qacts AS (
+              SELECT vec_id AS query_id, (i - 1)::BIGINT AS term_id
+              FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+              WHERE vec_id < 5 AND embedding[i]::DOUBLE > {_ACT_THRESHOLD}
+            ),
+            cand AS (
+              SELECT DISTINCT q.query_id, d.doc_id
+              FROM qacts q JOIN dacts d USING (term_id)
+            ),
+            qte AS (
+              SELECT query_id, term_id,
+                     list_slice(e.embedding, (term_id % 4)::INT * 16 + 1,
+                                (term_id % 4)::INT * 16 + 16) AS qe
+              FROM qacts JOIN embeddings e ON e.vec_id = qacts.query_id
+            ),
+            dte AS (
+              SELECT doc_id, term_id,
+                     list_slice(e.embedding, (term_id % 4)::INT * 16 + 1,
+                                (term_id % 4)::INT * 16 + 16) AS de
+              FROM dacts JOIN embeddings e ON e.vec_id = dacts.doc_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.doc_id,
+                     round(sum(list_sum(list_transform(range(1, 17),
+                        j -> qte.qe[j]::DOUBLE * dte.de[j]::DOUBLE))), 6) AS score
+              FROM cand c
+              JOIN qte USING (query_id)
+              JOIN dte ON dte.doc_id = c.doc_id AND dte.term_id = qte.term_id
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= {TOP_K}
         """,
         "eval_metrics": f"""
             WITH {_TOK_DOCS}, {_BM25_WEIGHTS}, {_TOK_QUERIES},

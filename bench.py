@@ -80,7 +80,7 @@ def main() -> None:
         F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')").alias("query"),
     ).cache()
     n_load = load_queries.count()
-    for mode in ("bmw", "distributed"):
+    for mode in ("bmw", "distributed", "auto"):
         t0 = time.perf_counter()
         index.search(load_queries, k=10, mode=mode).collect()
         timings[f"query_{mode}"] = time.perf_counter() - t0
@@ -103,6 +103,7 @@ def main() -> None:
         "qps_topk": round(n_queries / timings["bm25_topk"], 2),
         "qps_bmw": round(n_load / timings["query_bmw"], 2),
         "qps_distributed": round(n_load / timings["query_distributed"], 2),
+        "qps_auto": round(n_load / timings["query_auto"], 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -208,8 +208,6 @@ def build_index(
     resume: bool = True,
 ) -> "BM25Index":
     """Build (or resume building) a compressed BM25 index on disk."""
-    from neural_cherche_spark.index.builder_weights import weights_from_tf
-
     cat = IndexCatalog(index_dir)
     walls: dict[str, float] = {}
     if n_buckets is None:
@@ -257,6 +255,31 @@ def build_index(
             .parquet(cat.path("docmap"))
         )
     walls["docmap"] = time.perf_counter() - t0
+    return _finish_build(
+        spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
+        salt_every, manifest, walls, index_dir,
+    )
+
+
+def _finish_build(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    tf: DataFrame,
+    fingerprint: str,
+    cfg: BM25Config,
+    n_buckets: int,
+    block_size: int,
+    salt_every: int,
+    manifest,
+    walls: dict,
+    index_dir: str,
+) -> "BM25Index":
+    """Stages downstream of the materialized tf + docmap tables —
+    shared by ``build_index`` and the incremental/streaming
+    materializer (streaming/compressed.py), so a stream-accumulated tf
+    produces the IDENTICAL index artifact as a from-scratch build."""
+    from neural_cherche_spark.index.builder_weights import weights_from_tf
+
     # doc lengths are materialized in docmap — downstream stages (stats,
     # termdict w1, weights) reuse them instead of re-aggregating tf
     # three times (round-1 VERDICT #6: cut build job count / passes).

@@ -138,3 +138,101 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """(vec_id, neighbor_id, cos, rank) within-bucket approximate top-k."""
     return _rank_topk(lsh_cosine_scores(vecs, n_planes, seed, id_col, vec_col), k)
+
+
+def lsh_banded_cosine_scores(
+    vecs: DataFrame,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded multi-table LSH (the scale path, round-1 VERDICT #7):
+    candidates are pairs agreeing on ALL ``planes_per_band`` planes of
+    ANY band — recall 1−(1−p^r)^b instead of the single-table p^n, with
+    bucket width p^r·n instead of p^n·n. The single-table variant
+    (lsh_cosine_scores) needed high n_planes for precision and paid
+    O(n²/2^planes)-wide buckets; banding multiplies tables instead,
+    exactly like ops/dedup.lsh_candidate_pairs does for minhash.
+
+    Physical plan: one pass computes the full bands·r-bit signature per
+    vector; explode(bands) → equi-join on (band, band_sig) → distinct
+    candidate pair ids → join back for vectors → exact cosine only on
+    candidates. ``max_bucket_size`` drops degenerate buckets (the
+    all-zeros vector cluster) before the pair join — the bucket-size
+    cap for adversarial data at 10^9 vectors.
+    """
+    n_planes = bands * planes_per_band
+    mask = (1 << planes_per_band) - 1
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_col(vec_col).alias("nrm"),
+        hyperplane_signature(vec_col, n_planes, seed).alias("sig"),
+    )
+    banded = base.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "vec_id",
+        "band",
+        F.expr(f"shiftright(sig, band * {planes_per_band}) & {mask}").alias(
+            "band_sig"
+        ),
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("__bs")
+        )
+        banded = banded.join(sizes, ["band", "band_sig"]).filter(
+            F.col("__bs") <= max_bucket_size
+        ).drop("__bs")
+    cand = (
+        banded.select(F.col("vec_id"), "band", "band_sig")
+        .join(
+            banded.select(
+                F.col("vec_id").alias("neighbor_id"), "band", "band_sig"
+            ),
+            ["band", "band_sig"],
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    other = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("u"),
+        F.col("nrm").alias("nrm_u"),
+    )
+    return (
+        cand.join(base.select("vec_id", "v", "nrm"), "vec_id")
+        .join(other, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (F.expr(_DOT) / (F.col("nrm") * F.col("nrm_u"))).alias("cos"),
+        )
+    )
+
+
+def lsh_banded_cosine_topk(
+    vecs: DataFrame,
+    k: int = 10,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos, rank) banded-LSH approximate top-k."""
+    return _rank_topk(
+        lsh_banded_cosine_scores(
+            vecs, bands, planes_per_band, seed, id_col, vec_col,
+            max_bucket_size,
+        ),
+        k,
+    )

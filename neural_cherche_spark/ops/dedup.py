@@ -179,3 +179,51 @@ def simhash(
         .groupBy(id_col)
         .agg(F.sum("contrib").cast("long").alias("simhash"))
     )
+
+
+def simhash_neighbors(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(fp_a, fp_b) ≤ h —
+    the near-dup QUERY over simhash fingerprints (round-1 VERDICT #8).
+
+    Pigeonhole multi-index blocking: split the fingerprint into
+    ``h + 1`` chunks; two fingerprints within Hamming distance h must
+    agree EXACTLY on at least one chunk (h flipped bits can dirty at
+    most h chunks). So candidates come from h+1 equi-joins on
+    (chunk_idx, chunk_value) — never the n² cross product — and the
+    exact xor+popcount verify runs only on candidates. At 10^12 docs
+    each chunk join is an ordinary hash-shuffle on a ~8-bit-entropy
+    key; chunk buckets are the skew concern and follow the same
+    salting/AQE playbook as every other join here.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-bits // n_chunks)  # ceil
+    mask = (1 << chunk_bits) - 1
+    chunks = fingerprints.select(
+        F.col(id_col),
+        F.col(fp_col).alias("fp"),
+        F.explode(F.expr(f"sequence(0, {n_chunks - 1})")).alias("ci"),
+    ).select(
+        id_col,
+        "fp",
+        "ci",
+        F.expr(f"shiftright(fp, ci * {chunk_bits}) & {mask}").alias("cv"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("fp").alias("fp_a"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("fp").alias("fp_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2,3 +2,7 @@ from neural_cherche_spark.streaming.incremental import (  # noqa: F401
     IncrementalBM25Builder,
     stream_build,
 )
+from neural_cherche_spark.streaming.compressed import (  # noqa: F401
+    CompressedIndexStream,
+    stream_build_compressed,
+)

@@ -1,0 +1,107 @@
+"""Banded multi-table LSH ANN: recall against the exact brute-force
+path on a clustered synthetic set (the workload LSH exists for —
+uniform random vectors have no near neighbors to find), plus the
+bucket-size cap and simhash neighbor-join completeness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neural_cherche_spark.ops.ann import (
+    cosine_topk,
+    lsh_banded_cosine_topk,
+)
+from neural_cherche_spark.ops.dedup import simhash_neighbors
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """200 clusters × 10 members, 32-dim: true top-k neighbors are
+    co-cluster (cos ≈ 0.95) — deterministic seed."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(200, 32)
+    vecs = np.repeat(centers, 10, axis=0) + 0.15 * rng.randn(2000, 32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(2000), "embedding": [r.astype("float32").tolist() for r in vecs]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _topk_sets(df, k):
+    out: dict[int, set] = {}
+    for r in df.collect():
+        if r["rank"] <= k:
+            out.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_banded_lsh_recall_at_10(spark, clustered_vecs):
+    exact = _topk_sets(cosine_topk(clustered_vecs, k=10), 10)
+    approx = _topk_sets(
+        lsh_banded_cosine_topk(clustered_vecs, k=10, bands=8, planes_per_band=4),
+        10,
+    )
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(s) for s in exact.values())
+    recall = hits / total
+    assert recall >= 0.9, f"banded LSH recall@10 = {recall:.3f} < 0.9"
+
+
+def test_banded_beats_single_table_recall(spark, clustered_vecs):
+    """The round-1 single-table design at the same total plane count
+    must recall strictly less than the banded variant — the reason the
+    banded path exists (VERDICT r1 pipeline-ops table)."""
+    from neural_cherche_spark.ops.ann import lsh_cosine_topk
+
+    exact = _topk_sets(cosine_topk(clustered_vecs, k=10), 10)
+    single = _topk_sets(lsh_cosine_topk(clustered_vecs, k=10, n_planes=32), 10)
+    banded = _topk_sets(
+        lsh_banded_cosine_topk(clustered_vecs, k=10, bands=8, planes_per_band=4),
+        10,
+    )
+    total = sum(len(s) for s in exact.values())
+    r_single = sum(len(exact[v] & single.get(v, set())) for v in exact) / total
+    r_banded = sum(len(exact[v] & banded.get(v, set())) for v in exact) / total
+    assert r_banded > r_single
+
+
+def test_bucket_size_cap_prunes_degenerate_buckets(spark):
+    # 50 identical vectors land in one bucket in every band; the cap
+    # must drop them from candidate generation entirely
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [[1.0, 0.0, 0.0, 0.0]] * 50}
+    )
+    vecs = spark.createDataFrame(pdf)
+    n = lsh_banded_cosine_topk(
+        vecs, k=5, bands=4, planes_per_band=2, max_bucket_size=10
+    ).count()
+    assert n == 0
+
+
+def test_simhash_neighbors_complete_vs_bruteforce(spark):
+    """Pigeonhole blocking must find EVERY pair within the Hamming
+    radius (it's an exact method, not approximate)."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 1 << 32, size=40, dtype=np.uint64)
+    # plant near-dups: flip ≤3 bits of each base fp
+    mutated = base.copy()
+    for i in range(40):
+        for b in rng.choice(32, size=rng.randint(0, 4), replace=False):
+            mutated[i] ^= np.uint64(1) << np.uint64(b)
+    fps = np.concatenate([base, mutated]).astype(np.int64)
+    df = spark.createDataFrame(
+        [(i, int(f)) for i, f in enumerate(fps)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neighbors(df, max_hamming=3, bits=32).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin(int(fps[i]) ^ int(fps[j])).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want and len(want) >= 40
