@@ -12,19 +12,22 @@ path (tests pin this):
     No per-group materialization: safe for arbitrarily long posting
     lists (the group-OOM-free path at 10^12 docs).
 
-``mode="bmw"`` — block-max pruned, per-query group:
+``mode="bmw"`` — block-max pruned, per-query (sub)group:
     same pruned scan ⋈ broadcast(query terms)
-      → groupBy(query_id).applyInPandas(block-max top-k)
-    Processes blocks in descending upper-bound (qtf·max_w) order,
-    maintains the running k-th score θ, and stops admitting new docs
-    once the残 upper bound can't reach θ; remaining blocks are decoded
-    only for surviving candidates (np.isin mask). Correct only when
-    every matched term has idf ≥ 0 (weights all non-negative — the
-    normal case on real corpora); groups with any negative-idf term
-    fall back to exact vectorized scoring, so results are ALWAYS
-    exact. This is the SURVEY §4.2 "block-max WAND" realized as
-    vectorized two-phase pruning (a Python pointer-chasing DAAT loop
-    would be slower than numpy phase-scoring at batch sizes).
+      → groupBy(query_id, subgroup).applyInPandas(block-max top-k)
+    Heavy queries shard into max(n_salts) doc-disjoint subgroups
+    (codec.doc_salt ownership). Blocks are processed in descending
+    positive-upper-bound (max(qtf·max_w, 0)) order with per-(term,
+    salt)-run suffix bounds: unseen docs are bounded by the positive
+    suffix maxima, candidates' finals lower-bounded via the negative
+    suffix minima — sound even when idf < 0 (tf_total > N, routine on
+    webtext under reference semantics, bm25.py:185-190). Once no
+    unseen doc can reach the certified k-th lower bound, remaining
+    blocks are decoded only where their doc range contains a surviving
+    candidate (range skip + np.isin). Results are ALWAYS exact. This
+    is the SURVEY §4.2 "block-max WAND" realized as vectorized
+    two-phase pruning (a Python pointer-chasing DAAT loop would be
+    slower than numpy phase-scoring at batch sizes).
 
 Bucket pruning: the builder spreads (term_id, salt) over parquet
 ``bucket=`` partitions by xxhash64; the query side recomputes the
@@ -240,8 +243,56 @@ def _run_suffix_bounds(run_key: np.ndarray, ub: np.ndarray) -> np.ndarray:
     return bound
 
 
+def _run_suffix_bounds_signed(
+    run_key: np.ndarray, ub_pos: np.ndarray, neg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Signed twin of :func:`_run_suffix_bounds` for indexes with
+    NEGATIVE weights (reference idf goes negative whenever
+    tf_total > N — routine on webtext, bm25.py:185-190).
+
+    For blocks i..end (processing order), a doc gains at most
+    ``pos_bound[i]`` = Σ over runs of max(0, best remaining block ub)
+    and loses at most ``neg_bound[i]`` = Σ over runs of
+    min(0, worst remaining block lb). One backward pass; per-run
+    dict state (groups are ≤ a few thousand blocks — Python loop cost
+    is negligible next to decode).
+    """
+    n = run_key.size
+    pos_bound = np.zeros(n + 1, dtype=np.float64)
+    neg_bound = np.zeros(n + 1, dtype=np.float64)
+    best: dict[int, float] = {}
+    worst: dict[int, float] = {}
+    ps = ns = 0.0
+    for i in range(n - 1, -1, -1):
+        r = run_key[i]
+        u = ub_pos[i]
+        b = best.get(r, 0.0)
+        if u > b:
+            ps += u - b
+            best[r] = u
+        v = neg[i]
+        w = worst.get(r, 0.0)
+        if v < w:
+            ns += v - w
+            worst[r] = v
+        pos_bound[i] = ps
+        neg_bound[i] = ns
+    return pos_bound, neg_bound
+
+
 def _bmw_group_fn(k: int):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
+
+    Pruning is sound under NEGATIVE weights (sign-split bounds):
+    unseen docs are bounded by the per-run positive suffix maxima;
+    candidates' final scores are lower-bounded via the per-run
+    negative suffix minima, so θ_low = (k-th partial) + neg_bound is a
+    certified lower bound on the final k-th score even though partial
+    sums can still fall. Once pos_bound < θ_low, the remaining blocks
+    are decoded ONLY where their [first_doc, last_doc] range contains
+    a surviving candidate — stopword-gram mega-runs (always negative
+    under reference idf on webtext) are mostly range-skipped without
+    decoding.
 
     The accumulator is a sorted-merge (searchsorted + insert) instead
     of re-running np.unique over the growing accumulator each chunk —
@@ -256,19 +307,29 @@ def _bmw_group_fn(k: int):
         grp = int(pdf["grp"].iloc[0])
         n_groups = int(pdf["n_groups"].iloc[0])
         qtf = pdf["qtf"].to_numpy(dtype=np.float64)
-        ub = qtf * pdf["max_w"].to_numpy(dtype=np.float64)
-        prunable = bool((pdf["idf"].to_numpy() >= 0).all())
+        ub_pos = np.maximum(qtf * pdf["max_w"].to_numpy(dtype=np.float64), 0.0)
+        neg = np.minimum(qtf * pdf["min_w"].to_numpy(dtype=np.float64), 0.0)
+        first_doc = pdf["first_doc"].to_numpy(dtype=np.int64)
+        last_doc = pdf["last_doc"].to_numpy(dtype=np.int64)
 
-        order = np.argsort(-ub, kind="mergesort")
+        order = np.argsort(-ub_pos, kind="mergesort")
+        # no block can contribute positively → every final score ≤ 0 →
+        # the positive-score filter empties the result; skip all decode
+        if ub_pos[order[0]] <= 0.0:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
         ws_col = pdf["ws"].to_numpy()
         # run key: salt < 2^20 (cap 1024), term_id < 2^40 → fits int64
         run_key = (
             pdf["term_id"].to_numpy(dtype=np.int64) << np.int64(20)
         ) | pdf["salt"].to_numpy(dtype=np.int64)
-        suffix_bound = (
-            _run_suffix_bounds(run_key[order], ub[order]) if prunable else None
-        )
+        if (neg < 0).any():
+            suffix_pos, suffix_neg = _run_suffix_bounds_signed(
+                run_key[order], ub_pos[order], neg[order]
+            )
+        else:
+            suffix_pos = _run_suffix_bounds(run_key[order], ub_pos[order])
+            suffix_neg = np.zeros_like(suffix_pos)
 
         acc_d = np.empty(0, dtype=np.int64)
         acc_s = np.empty(0, dtype=np.float64)
@@ -276,6 +337,12 @@ def _bmw_group_fn(k: int):
         def decode_chunk(idx_list, doc_filter=None):
             dl, sl = [], []
             for i in idx_list:
+                if doc_filter is not None:
+                    # range skip: decode only blocks whose doc range can
+                    # contain a surviving candidate
+                    lo = np.searchsorted(doc_filter, first_doc[i])
+                    if lo >= doc_filter.size or doc_filter[lo] > last_doc[i]:
+                        continue
                 d, w = decode_block(docs_col[i], ws_col[i])
                 if n_groups > 1:
                     # subgroup ownership: this group scores ONLY its own
@@ -284,7 +351,7 @@ def _bmw_group_fn(k: int):
                     m = doc_salt(d, n_groups) == grp
                     d, w = d[m], w[m]
                 if doc_filter is not None and d.size:
-                    m = np.isin(d, doc_filter)
+                    m = np.isin(d, doc_filter, assume_unique=True)
                     d, w = d[m], w[m]
                 if d.size:
                     dl.append(d)
@@ -311,23 +378,24 @@ def _bmw_group_fn(k: int):
                 acc_d = np.insert(acc_d, pos[miss], uniq[miss])
                 acc_s = np.insert(acc_s, pos[miss], sums[miss])
 
-        if not prunable:
-            merge(*decode_chunk(order))
-        else:
-            chunk = max(64, 4 * k)
-            pos = 0
-            while pos < order.size:
-                merge(*decode_chunk(order[pos : pos + chunk]))
-                pos += chunk
-                if acc_d.size >= k:
-                    theta = np.partition(acc_s, -k)[-k]
-                    remaining_ub = float(suffix_bound[pos]) if pos < order.size else 0.0
-                    if remaining_ub < theta:
-                        # no unseen doc can reach top-k; finish exact
-                        # scores for surviving candidates only
-                        cand = acc_d[acc_s + remaining_ub >= theta]
-                        merge(*decode_chunk(order[pos:], doc_filter=cand))
-                        break
+        chunk = max(64, 4 * k)
+        pos = 0
+        while pos < order.size:
+            merge(*decode_chunk(order[pos : pos + chunk]))
+            pos += chunk
+            if acc_d.size >= k and pos < order.size:
+                # θ_low: ≥ k docs end with final score ≥ θ_low (their
+                # partials can drop at most suffix_neg from here on)
+                theta_low = (
+                    np.partition(acc_s, -k)[-k] + float(suffix_neg[pos])
+                )
+                remaining_ub = float(suffix_pos[pos])
+                if remaining_ub < theta_low:
+                    # no unseen doc can reach the final top-k; finish
+                    # exact scores for surviving candidates only
+                    cand = acc_d[acc_s + remaining_ub >= theta_low]
+                    merge(*decode_chunk(order[pos:], doc_filter=cand))
+                    break
         uniq, sums = acc_d, acc_s
         pos_mask = sums > 0
         uniq, sums = uniq[pos_mask], sums[pos_mask]
@@ -363,7 +431,7 @@ def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
         F.max("n_salts").alias("n_groups")
     )
     qt = qterms.join(qsplit, "query_id").select(
-        "query_id", "term_id", "qtf", "idf", "n_salts", "n_groups"
+        "query_id", "term_id", "qtf", "n_salts", "n_groups"
     )
     joined = _pruned_postings(index, qterms).join(F.broadcast(qt), "term_id")
     expanded = joined.withColumn(
@@ -378,7 +446,8 @@ def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
     scored = (
         expanded.select(
             "query_id", "grp", "n_groups", "term_id", "salt",
-            "qtf", "idf", "max_w", "docs", "ws",
+            "qtf", "max_w", "min_w", "first_doc", "last_doc",
+            "docs", "ws",
         )
         .groupBy("query_id", "grp")
         .applyInPandas(_bmw_group_fn(k), _SCORE_SCHEMA)

@@ -114,6 +114,190 @@ class BM25:
         return out
 
 
+class Splade:
+    """Distributed Splade retriever with the reference's call shape
+    (reference retrieve/splade.py:23-140: encode_documents → add →
+    encode_queries → __call__).
+
+    The reference's ``model`` (torch, unavailable offline) is replaced
+    by an ``encoder`` callable: ``encoder(texts: list[str]) ->
+    list[dict[int, float]]`` mapping each text to its sparse
+    activations (term_id → weight). A user with a real SPLADE model
+    wraps ``model.encode`` in this signature; tests use a
+    deterministic featurizer. Retrieval itself is
+    ops/sparse_neural.splade_topk — sparse dot product, top-k.
+    """
+
+    def __init__(
+        self,
+        key: str,
+        on: str | list[str],
+        encoder,
+        spark: SparkSession | None = None,
+    ) -> None:
+        self.key = key
+        self.on = [on] if isinstance(on, str) else list(on)
+        self.encoder = encoder
+        self.spark = spark or SparkSession.active()
+        self._acts: DataFrame | None = None
+        self._key_values: list = []
+
+    def _encode_df(self, texts: list[str], ids: list, id_name: str) -> DataFrame:
+        rows = [
+            (str(i), int(t), float(w))
+            for i, acts in zip(ids, self.encoder(texts))
+            for t, w in acts.items()
+        ]
+        return self.spark.createDataFrame(
+            rows, f"{id_name} string, term_id long, weight double"
+        )
+
+    def encode_documents(self, documents: list[dict]) -> DataFrame:
+        self._pending_keys = [doc[self.key] for doc in documents]
+        texts = [
+            " ".join(str(doc.get(f, "")) for f in self.on) for doc in documents
+        ]
+        return self._encode_df(texts, self._pending_keys, "doc_key")
+
+    def add(self, documents_embeddings: DataFrame) -> "Splade":
+        # index extend = union of activation rows (reference hstack,
+        # splade.py add → U2 semantics)
+        self._acts = (
+            documents_embeddings
+            if self._acts is None
+            else self._acts.unionByName(documents_embeddings)
+        )
+        self._key_values.extend(getattr(self, "_pending_keys", []))
+        self._pending_keys = []
+        return self
+
+    def encode_queries(self, queries: list[str]) -> DataFrame:
+        distinct = list(dict.fromkeys(queries))
+        self._query_order = queries
+        self._distinct_queries = distinct
+        rows = [
+            (i, int(t), float(w))
+            for i, acts in enumerate(self.encoder(distinct))
+            for t, w in acts.items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "query_id long, term_id long, weight double"
+        )
+
+    def __call__(
+        self, queries_embeddings: DataFrame, k: int | None = None
+    ) -> list[list[dict]]:
+        if self._acts is None:
+            raise RuntimeError("no documents added")
+        from neural_cherche_spark.ops.sparse_neural import splade_topk
+
+        res = splade_topk(
+            self._acts, queries_embeddings, k=k, doc_id="doc_key"
+        )
+        return self._assemble(res)
+
+    def _assemble(self, res: DataFrame) -> list[list[dict]]:
+        by_query: dict[int, list] = {}
+        for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            by_query.setdefault(int(r["query_id"]), []).append(
+                {"doc_key": r["doc_id"], "similarity": float(r["score"])}
+            )
+        key_map = {str(kv): kv for kv in self._key_values}
+        qidx = {q: i for i, q in enumerate(self._distinct_queries)}
+        return [
+            [
+                {self.key: key_map.get(h["doc_key"], h["doc_key"]),
+                 "similarity": h["similarity"]}
+                for h in by_query.get(qidx[q], [])
+            ]
+            for q in self._query_order
+        ]
+
+
+class SparseEmbed(Splade):
+    """Distributed SparseEmbed retriever (reference
+    retrieve/sparse_embed.py:84-452): stage-1 candidates from the
+    activation dot product, stage-2 re-scoring over the intersection
+    of activated tokens with per-token embeddings.
+
+    ``encoder(texts) -> list[tuple[dict[int, float], dict[int, list[float]]]]``
+    — per text: (activations, token embeddings for the activated ids).
+    """
+
+    def __init__(
+        self,
+        key: str,
+        on: str | list[str],
+        encoder,
+        spark: SparkSession | None = None,
+        candidates_k: int | None = 100,
+    ) -> None:
+        super().__init__(key, on, encoder, spark)
+        self.candidates_k = candidates_k
+        self._tok_embs: DataFrame | None = None
+
+    def _encode_both(self, texts: list[str], ids: list, id_name: str):
+        encoded = self.encoder(texts)
+        act_rows, emb_rows = [], []
+        for i, (acts, embs) in zip(ids, encoded):
+            iid = str(i) if id_name == "doc_key" else int(i)
+            act_rows += [(iid, int(t), float(w)) for t, w in acts.items()]
+            emb_rows += [
+                (iid, int(t), [float(x) for x in v]) for t, v in embs.items()
+            ]
+        idt = "string" if id_name == "doc_key" else "long"
+        acts_df = self.spark.createDataFrame(
+            act_rows, f"{id_name} {idt}, term_id long, weight double"
+        )
+        embs_df = self.spark.createDataFrame(
+            emb_rows, f"{id_name} {idt}, term_id long, emb array<float>"
+        )
+        return acts_df, embs_df
+
+    def encode_documents(self, documents: list[dict]) -> tuple[DataFrame, DataFrame]:
+        self._pending_keys = [doc[self.key] for doc in documents]
+        texts = [
+            " ".join(str(doc.get(f, "")) for f in self.on) for doc in documents
+        ]
+        return self._encode_both(texts, self._pending_keys, "doc_key")
+
+    def add(self, documents_embeddings) -> "SparseEmbed":
+        acts, embs = documents_embeddings
+        self._acts = acts if self._acts is None else self._acts.unionByName(acts)
+        self._tok_embs = (
+            embs if self._tok_embs is None else self._tok_embs.unionByName(embs)
+        )
+        self._key_values.extend(getattr(self, "_pending_keys", []))
+        self._pending_keys = []
+        return self
+
+    def encode_queries(self, queries: list[str]) -> tuple[DataFrame, DataFrame]:
+        distinct = list(dict.fromkeys(queries))
+        self._query_order = queries
+        self._distinct_queries = distinct
+        return self._encode_both(
+            distinct, list(range(len(distinct))), "query_id"
+        )
+
+    def __call__(
+        self, queries_embeddings, k: int | None = None
+    ) -> list[list[dict]]:
+        if self._acts is None:
+            raise RuntimeError("no documents added")
+        from neural_cherche_spark.ops.sparse_neural import sparse_embed_topk
+
+        q_acts, q_embs = queries_embeddings
+        res = sparse_embed_topk(
+            self._acts.withColumnRenamed("doc_key", "doc_id"),
+            q_acts,
+            self._tok_embs.withColumnRenamed("doc_key", "doc_id"),
+            q_embs,
+            k=k,
+            candidates_k=self.candidates_k,
+        )
+        return self._assemble(res)
+
+
 class TfIdf:
     """Distributed TF-IDF retriever (cosine over L2-normalized tf-idf,
     reference retrieve/tfidf.py). Single-batch: ``add`` unions batches

@@ -62,6 +62,9 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
     docs = spark.read.parquet(DATA)
     n = docs.count()  # warm the scan / page cache
 
+    # warmup pass first: the tokenize phase is short enough (~25 s at
+    # 4 cores) that JIT/codegen warmup dominates a cold measurement
+    docs.select(F.explode(ngram_terms_column("text")).alias("t")).count()
     t0 = time.perf_counter()
     docs.select(F.explode(ngram_terms_column("text")).alias("t")).count()
     tok_s = time.perf_counter() - t0
@@ -70,24 +73,46 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
     # n_buckets fixed across parallelism levels: the index must be the
-    # SAME artifact at local[8] and local[32] for a fair scaling study
+    # SAME artifact at local[8] and local[32] for a fair scaling study.
+    # salt_every scales with the corpus (production-representative:
+    # head grams split ~8 ways here, as they would at 10^12 docs)
     index = build_index(
         spark, docs, idx_dir, id_col="doc_id", n_buckets=64, resume=False,
+        salt_every=max(2000, n_docs // 8),
     )
     build_s = time.perf_counter() - t0
 
-    # distributed = bulk batch mode (decode-once fan-out); bmw = the
-    # selective per-query mode, measured at a small interactive batch
+    # Three query workloads:
+    #   distributed — bulk batch mode over the MIXED zipfian batch
+    #     (decode-once fan-out; the stopword-heavy design point)
+    #   auto        — the production router on the same mixed batch
+    #   bmw         — pure block-max on SELECTIVE (tail-term) queries,
+    #     its design domain (a stopword query in pure bmw mode is a
+    #     routing error by construction; auto measures that case)
     queries = synth_queries(spark, n_queries, seed=123).cache()
     queries.count()
-    bmw_queries = synth_queries(spark, min(n_queries, 64), seed=123).cache()
-    n_bmw = bmw_queries.count()
+    sel_queries = (
+        spark.range(min(n_queries, 64))
+        .select(
+            F.col("id").alias("query_id"),
+            F.expr(
+                "concat('term', 500 + (id*13)%1500, "
+                "' term', 500 + (id*29+7)%1500, "
+                "' term', 500 + (id*41+3)%1500)"
+            ).alias("query"),
+        )
+        .cache()
+    )
+    n_sel = sel_queries.count()
     timings = {}
     t0 = time.perf_counter()
     index.search(queries, k=10, mode="distributed").collect()
     timings["distributed"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    index.search(bmw_queries, k=10, mode="bmw").collect()
+    index.search(queries, k=10, mode="auto").collect()
+    timings["auto"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    index.search(sel_queries, k=10, mode="bmw").collect()
     timings["bmw"] = time.perf_counter() - t0
 
     out = {
@@ -101,9 +126,11 @@ def inner(cpus: int, n_docs: int, n_queries: int, out_json: str) -> None:
         "tokenize_docs_per_s": round(n / tok_s, 1),
         "query_bmw_s": round(timings["bmw"], 3),
         "query_dist_s": round(timings["distributed"], 3),
-        "n_bmw_queries": n_bmw,
-        "qps_bmw": round(n_bmw / timings["bmw"], 2),
+        "query_auto_s": round(timings["auto"], 3),
+        "n_bmw_queries": n_sel,
+        "qps_bmw": round(n_sel / timings["bmw"], 2),
         "qps_dist": round(n_queries / timings["distributed"], 2),
+        "qps_auto": round(n_queries / timings["auto"], 2),
     }
     with open(out_json, "w") as f:
         json.dump(out, f)
@@ -168,6 +195,7 @@ def orchestrate(n_docs: int, n_queries: int) -> None:
         "tokenize": r32["tokenize_docs_per_s"] / r8["tokenize_docs_per_s"],
         "qps_bmw": r32["qps_bmw"] / r8["qps_bmw"],
         "qps_dist": r32["qps_dist"] / r8["qps_dist"],
+        "qps_auto": r32["qps_auto"] / r8["qps_auto"],
     }
     eff = {k: round(v / 4.0, 3) for k, v in speedup.items()}
 
@@ -186,8 +214,9 @@ parallelism. Efficiency = (T8/T32) / 4 on wall time, equivalently
 |---|---|---|---|---|
 | tokenize (docs/s) | {r8['tokenize_docs_per_s']:,} | {r32['tokenize_docs_per_s']:,} | {speedup['tokenize']:.2f}× | {eff['tokenize']} |
 | index build (docs/s) | {r8['build_docs_per_s']:,} | {r32['build_docs_per_s']:,} | {speedup['build']:.2f}× | {eff['build']} |
-| BM25 top-10 QPS (block-max) | {r8['qps_bmw']} | {r32['qps_bmw']} | {speedup['qps_bmw']:.2f}× | {eff['qps_bmw']} |
-| BM25 top-10 QPS (distributed) | {r8['qps_dist']} | {r32['qps_dist']} | {speedup['qps_dist']:.2f}× | {eff['qps_dist']} |
+| BM25 top-10 QPS (block-max, selective) | {r8['qps_bmw']} | {r32['qps_bmw']} | {speedup['qps_bmw']:.2f}× | {eff['qps_bmw']} |
+| BM25 top-10 QPS (distributed, mixed) | {r8['qps_dist']} | {r32['qps_dist']} | {speedup['qps_dist']:.2f}× | {eff['qps_dist']} |
+| BM25 top-10 QPS (auto-routed, mixed) | {r8['qps_auto']} | {r32['qps_auto']} | {speedup['qps_auto']:.2f}× | {eff['qps_auto']} |
 
 Raw walls (seconds):
 
@@ -195,8 +224,9 @@ Raw walls (seconds):
 |---|---|---|
 | tokenize+count | {r8['tokenize_s']} | {r32['tokenize_s']} |
 | full index build | {r8['build_s']} | {r32['build_s']} |
-| query batch bmw ({r8['n_bmw_queries']} queries, selective mode) | {r8['query_bmw_s']} | {r32['query_bmw_s']} |
-| query batch distributed ({args.n_queries} queries, bulk mode) | {r8['query_dist_s']} | {r32['query_dist_s']} |
+| query batch bmw ({r8['n_bmw_queries']} selective queries) | {r8['query_bmw_s']} | {r32['query_bmw_s']} |
+| query batch distributed ({args.n_queries} mixed queries) | {r8['query_dist_s']} | {r32['query_dist_s']} |
+| query batch auto ({args.n_queries} mixed queries) | {r8['query_auto_s']} | {r32['query_auto_s']} |
 
 Measurement hygiene: fresh JVM per level; identical logical plan
 (64 shuffle partitions, 64 index buckets) at both levels — only

@@ -13,7 +13,10 @@ import numpy as np
 import pytest
 
 from neural_cherche_spark.index.codec import doc_salt
-from neural_cherche_spark.query.bmw import _run_suffix_bounds
+from neural_cherche_spark.query.bmw import (
+    _run_suffix_bounds,
+    _run_suffix_bounds_signed,
+)
 
 
 def _brute(run_key: np.ndarray, ub: np.ndarray) -> np.ndarray:
@@ -52,6 +55,40 @@ def test_suffix_bounds_tighter_when_runs_have_many_blocks():
     got = _run_suffix_bounds(rk, ub)
     assert got[0] == pytest.approx(1.0)
     assert got[5] == pytest.approx(ub[5])
+
+
+def _brute_signed(run_key, ub_pos, neg):
+    n = run_key.size
+    pb, nb = np.zeros(n + 1), np.zeros(n + 1)
+    for i in range(n):
+        best: dict[int, float] = {}
+        worst: dict[int, float] = {}
+        for j in range(i, n):
+            best[run_key[j]] = max(best.get(run_key[j], 0.0), ub_pos[j])
+            worst[run_key[j]] = min(worst.get(run_key[j], 0.0), neg[j])
+        pb[i] = sum(best.values())
+        nb[i] = sum(worst.values())
+    return pb, nb
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_signed_suffix_bounds_match_bruteforce(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 50)
+    run_key = rng.randint(0, 6, size=n).astype(np.int64)
+    raw = rng.randn(n)  # mixed-sign block bounds
+    ub_pos = np.maximum(raw, 0.0)
+    neg = np.minimum(rng.randn(n), 0.0)
+    order = np.argsort(-ub_pos, kind="mergesort")
+    rk, u, v = run_key[order], ub_pos[order], neg[order]
+    gp, gn = _run_suffix_bounds_signed(rk, u, v)
+    wp, wn = _brute_signed(rk, u, v)
+    np.testing.assert_allclose(gp, wp, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(gn, wn, rtol=1e-12, atol=1e-9)
+    # signed pos bound must agree with the vectorized all-positive one
+    np.testing.assert_allclose(
+        gp, _run_suffix_bounds(rk, u), rtol=1e-12, atol=1e-9
+    )
 
 
 def test_suffix_bounds_empty():

@@ -63,6 +63,24 @@ def test_postings_scan_prunes_buckets_and_terms(spark, corpus, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_bmw_search_plan_broadcasts_and_prunes(spark, corpus, tmp_path):
+    """The full search_bmw plan (with subgroup explode) must still
+    broadcast the query side and push bucket/term pruning into the
+    postings scan — the only shuffle is the matched-blocks regroup."""
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import search_bmw
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), id_col="doc_id",
+        n_buckets=8, salt_every=50,
+    )
+    queries = synth_queries(spark, 3, seed=4)
+    plan = _plan(search_bmw(idx, queries, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan and "term_id" in plan
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
 def test_tokenize_stays_in_scan_projection(spark, corpus):
     """Filter pushdown + column pruning: a filtered projection over the
     synth corpus reads only needed columns."""
