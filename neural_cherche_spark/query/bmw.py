@@ -63,20 +63,54 @@ _SCORE_SCHEMA = StructType(
 
 
 def _query_terms(index, queries: DataFrame) -> DataFrame:
-    """(query_id, term_id, qtf, idf, n_salts) for matched terms only
+    """(query_id, term_id, qtf, df, n_salts) for matched terms only
     (frozen-vocabulary semantics: unmatched terms drop, tfidf.py:134)."""
     cfg = index.manifest.cfg
     qt = query_term_counts(
         queries, n_min=int(cfg["n_min"]), n_max=int(cfg["n_max"])
     )
-    td = index.termdict.select("term", "term_id", "idf", "n_salts")
+    td = index.termdict.select("term", "term_id", "df", "n_salts")
     return td.join(F.broadcast(qt), "term").select(
-        "query_id", "term_id", "qtf", "idf", "n_salts"
+        "query_id", "term_id", "qtf", "df", "n_salts"
+    )
+
+
+def _matched_terms(index, queries: DataFrame) -> list:
+    """ONE driver round-trip per search call: for each matched term —
+    its df, salt count, exact bucket set (same xxhash64 as the builder,
+    so parquet partition pruning is exact), and the (query_id, qtf)
+    fan-out list. Every search mode derives its broadcast map, scan
+    pruning, routing volumes, and subgroup split from this single
+    collect (round-1 VERDICT "what's wrong" #4: 3 collects/call)."""
+    n_buckets = index.manifest.n_buckets
+    return (
+        _query_terms(index, queries)
+        .groupBy("term_id", "n_salts", "df")
+        .agg(F.collect_list(F.struct("query_id", "qtf")).alias("qs"))
+        .withColumn(
+            "buckets",
+            F.expr(
+                "array_distinct(transform(sequence(0, n_salts - 1), "
+                f"s -> cast(pmod(xxhash64(term_id, cast(s as int)), {n_buckets}) as int)))"
+            ),
+        )
+        .collect()
+    )
+
+
+def _postings_for(index, rows: list) -> DataFrame:
+    """Bucket- and term-pruned postings scan from collected match rows."""
+    buckets = sorted({int(b) for r in rows for b in r["buckets"]})
+    term_ids = sorted(int(r["term_id"]) for r in rows)
+    return index.postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
     )
 
 
 def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
-    """Bucket- and term-pruned postings scan."""
+    """Bucket- and term-pruned postings scan (DataFrame-input variant,
+    kept for plan audits; search paths use the single-collect
+    :func:`_matched_terms` + :func:`_postings_for`)."""
     n_buckets = index.manifest.n_buckets
     pairs = (
         qterms.select("term_id", "n_salts")
@@ -97,6 +131,12 @@ def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
     term_ids = sorted({r["term_id"] for r in pairs})
     return index.postings.filter(
         F.col("bucket").isin(buckets) & F.col("term_id").isin(term_ids)
+    )
+
+
+def _empty_result(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "query_id long, doc_id long, score double, rank int"
     )
 
 
@@ -169,19 +209,18 @@ def _decode_score_fn(qmap_bc):
     return run
 
 
-def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
-    qterms = _query_terms(index, queries)
-    tmp: dict[int, list[tuple[int, float]]] = {}
-    for r in qterms.select("term_id", "query_id", "qtf").collect():
-        tmp.setdefault(int(r["term_id"]), []).append(
-            (int(r["query_id"]), float(r["qtf"]))
-        )
+def search_distributed(
+    index, queries: DataFrame, k: int = 10, _rows: list | None = None
+) -> DataFrame:
+    rows = _matched_terms(index, queries) if _rows is None else _rows
+    if not rows:
+        return _empty_result(index.spark)
     qmap = {
-        tid: (
-            np.array([q for q, _ in lst], dtype=np.int64),
-            np.array([t for _, t in lst], dtype=np.float64),
+        int(r["term_id"]): (
+            np.array([int(q["query_id"]) for q in r["qs"]], dtype=np.int64),
+            np.array([float(q["qtf"]) for q in r["qs"]], dtype=np.float64),
         )
-        for tid, lst in tmp.items()
+        for r in rows
     }
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
@@ -190,7 +229,7 @@ def search_distributed(index, queries: DataFrame, k: int = 10) -> DataFrame:
     # many small scan splits would emit nearly-undeduplicated partials
     # and blow up the downstream shuffle.
     partial = (
-        _pruned_postings(index, qterms)
+        _postings_for(index, rows)
         .select("term_id", "docs", "ws")
         .coalesce(max(sc.defaultParallelism, 1))
         .mapInPandas(_decode_score_fn(qmap_bc), _SCORE_SCHEMA)
@@ -413,7 +452,9 @@ def _bmw_group_fn(k: int):
     return score_group
 
 
-def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
+def search_bmw(
+    index, queries: DataFrame, k: int = 10, _rows: list | None = None
+) -> DataFrame:
     """Block-max pruned top-k with heavy-group salt sharding.
 
     Per-query parallelism: a query whose matched terms include salted
@@ -426,14 +467,31 @@ def search_bmw(index, queries: DataFrame, k: int = 10) -> DataFrame:
     subgroup computes EXACT scores for its disjoint doc shard, so the
     union of per-subgroup top-ks contains the global top-k.
     """
-    qterms = _query_terms(index, queries)
-    qsplit = qterms.groupBy("query_id").agg(
-        F.max("n_salts").alias("n_groups")
+    rows = _matched_terms(index, queries) if _rows is None else _rows
+    if not rows:
+        return _empty_result(index.spark)
+    n_groups_by_q: dict[int, int] = {}
+    for r in rows:
+        for q in r["qs"]:
+            qid = int(q["query_id"])
+            n_groups_by_q[qid] = max(
+                n_groups_by_q.get(qid, 1), int(r["n_salts"])
+            )
+    qt = index.spark.createDataFrame(
+        [
+            (
+                int(r["term_id"]),
+                int(r["n_salts"]),
+                int(q["query_id"]),
+                float(q["qtf"]),
+                n_groups_by_q[int(q["query_id"])],
+            )
+            for r in rows
+            for q in r["qs"]
+        ],
+        "term_id long, n_salts int, query_id long, qtf double, n_groups int",
     )
-    qt = qterms.join(qsplit, "query_id").select(
-        "query_id", "term_id", "qtf", "n_salts", "n_groups"
-    )
-    joined = _pruned_postings(index, qterms).join(F.broadcast(qt), "term_id")
+    joined = _postings_for(index, rows).join(F.broadcast(qt), "term_id")
     expanded = joined.withColumn(
         "grp",
         F.explode(
@@ -474,35 +532,46 @@ def search_auto(
     bulk decode-and-score path. The two result sets are disjoint by
     query_id, so a union preserves exactness.
     """
-    qterms = _query_terms(index, queries)
-    # ONE routing job: per-query matched-postings volume. Queries with
-    # no matched terms return empty under either mode, so the light/
-    # heavy split is fully determined by this collect — no extra
-    # exists-check job (round-1 VERDICT "what's wrong" #4).
-    vol = (
-        qterms.join(
-            index.termdict.select("term_id", "df"), "term_id"
-        )
-        .groupBy("query_id")
-        .agg(F.sum("df").alias("matched_postings"))
-        .collect()
-    )
-    heavy_ids = [
-        r["query_id"]
-        for r in vol
-        if r["matched_postings"] > heavy_postings_threshold
-    ]
-    has_light = any(
-        r["matched_postings"] <= heavy_postings_threshold for r in vol
-    )
+    # ONE driver job: _matched_terms supplies the per-query matched-
+    # postings volumes (routing), and the per-side match rows are
+    # carved out in the driver — the sub-searches run zero extra
+    # pre-jobs (round-1 VERDICT "what's wrong" #4).
+    rows = _matched_terms(index, queries)
+    if not rows:
+        return _empty_result(index.spark)
+    vol: dict[int, int] = {}
+    for r in rows:
+        for q in r["qs"]:
+            qid = int(q["query_id"])
+            vol[qid] = vol.get(qid, 0) + int(r["df"])
+    heavy_ids = {q for q, v in vol.items() if v > heavy_postings_threshold}
+
+    def side(keep_heavy: bool) -> list:
+        out = []
+        for r in rows:
+            qs = [
+                q
+                for q in r["qs"]
+                if (int(q["query_id"]) in heavy_ids) == keep_heavy
+            ]
+            if qs:
+                out.append(
+                    {
+                        "term_id": r["term_id"],
+                        "n_salts": r["n_salts"],
+                        "df": r["df"],
+                        "buckets": r["buckets"],
+                        "qs": qs,
+                    }
+                )
+        return out
+
     if not heavy_ids:
-        return search_bmw(index, queries, k)
-    heavy = queries.filter(F.col("query_id").isin(heavy_ids))
-    if not has_light:
-        return search_distributed(index, heavy, k)
-    light = queries.filter(~F.col("query_id").isin(heavy_ids))
-    return search_bmw(index, light, k).unionByName(
-        search_distributed(index, heavy, k)
+        return search_bmw(index, queries, k, _rows=rows)
+    if len(heavy_ids) == len(vol):
+        return search_distributed(index, queries, k, _rows=rows)
+    return search_bmw(index, queries, k, _rows=side(False)).unionByName(
+        search_distributed(index, queries, k, _rows=side(True))
     )
 
 
