@@ -363,6 +363,17 @@ def _q_ann_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact verify).
+    Threshold 0.4 ≈ the near-dup tail of this synthetic fixture."""
+    from neural_cherche_spark.ops.ann import embedding_near_duplicates
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(
+        vecs, threshold=0.4, bands=4, planes_per_band=4, seed=42
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.ops.ann import cosine_scores
     from pyspark.sql import Window
@@ -646,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_banded_topk": _q_ann_lsh_banded_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
@@ -919,6 +931,39 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC
               ) AS rnk FROM scored
             ) WHERE rnk <= 5
+        """,
+        "embedding_near_dups": f"""
+            WITH {_DUCK_COS_PAIRS},
+            plane_dots AS (
+              SELECT n.vec_id, up.p,
+                     sum(n.v[(ud.d + 1)::INT]::DOUBLE *
+                         ((('0x' || substr(md5('42:' || up.p || ':' || ud.d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0)) AS pd
+              FROM nrm n,
+                   LATERAL unnest(range(0, 16)) AS up(p),
+                   LATERAL unnest(range(0, len(n.v))) AS ud(d)
+              GROUP BY 1, 2
+            ),
+            band_sigs AS (
+              SELECT vec_id, (p // 4)::INT AS band,
+                     CAST(sum(CASE WHEN pd > 0 THEN 1::BIGINT << (p % 4)::INT ELSE 0 END) AS BIGINT) AS band_sig
+              FROM plane_dots GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM band_sigs a JOIN band_sigs b USING (band, band_sig)
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(
+                     list_sum(list_transform(range(1, len(x.v) + 1),
+                              i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE))
+                     / (x.nr * y.nr), 6) AS cos
+            FROM cand c
+            JOIN nrm x ON x.vec_id = c.id_a
+            JOIN nrm y ON y.vec_id = c.id_b
+            WHERE list_sum(list_transform(range(1, len(x.v) + 1),
+                           i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE))
+                  / (x.nr * y.nr) >= 0.4
         """,
         "lang_id": f"""
             WITH {_DUCK_WORDS},

@@ -461,6 +461,7 @@ class BM25Index:
         self.manifest = self.cat.load_manifest()
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest at {index_dir}")
+        self._termdict: DataFrame | None = None
 
     @property
     def postings(self) -> DataFrame:
@@ -468,7 +469,14 @@ class BM25Index:
 
     @property
     def termdict(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path("termdict"))
+        # every search joins its query grams against the termdict; keep
+        # it executor-cached per index handle so repeated (serving)
+        # calls skip the parquet re-read (NOTES r2 carry-over #2)
+        if self._termdict is None:
+            self._termdict = self.spark.read.parquet(
+                self.cat.path("termdict")
+            ).cache()
+        return self._termdict
 
     @property
     def docmap(self) -> DataFrame:

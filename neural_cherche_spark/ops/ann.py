@@ -218,6 +218,42 @@ def lsh_banded_cosine_scores(
     )
 
 
+def embedding_near_duplicates(
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) unordered pairs with cosine ≥ threshold — the
+    embedding-space near-dup detector for training-data pipelines
+    (semantic dedup of a 100 TB corpus by document embeddings).
+
+    Candidates come from the banded LSH join (never the n² cross
+    product); the exact-cosine verify keeps only true near-dups. High
+    thresholds are exactly where LSH recall is strongest
+    (P(candidate) = 1 − (1 − p^r)^b with p → 1 as cos → 1).
+    """
+    scored = lsh_banded_cosine_scores(
+        vecs, bands, planes_per_band, seed, id_col, vec_col,
+        max_bucket_size,
+    )
+    return (
+        scored.filter(
+            (F.col("vec_id") < F.col("neighbor_id"))
+            & (F.col("cos") >= threshold)
+        )
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos",
+        )
+    )
+
+
 def lsh_banded_cosine_topk(
     vecs: DataFrame,
     k: int = 10,

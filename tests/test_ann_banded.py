@@ -80,6 +80,33 @@ def test_bucket_size_cap_prunes_degenerate_buckets(spark):
     assert n == 0
 
 
+def test_embedding_near_dups_recall_at_high_threshold(spark, clustered_vecs):
+    """Semantic-dedup mode: at a high cosine threshold, the LSH
+    candidate path must recover nearly all true near-dup pairs (the
+    p→1 regime where banding recall is strongest)."""
+    from neural_cherche_spark.ops.ann import embedding_near_duplicates
+
+    rows = clustered_vecs.collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    C = V @ V.T
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*np.where(C >= 0.9))
+        if i < j
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            clustered_vecs, threshold=0.9, bands=8, planes_per_band=4
+        ).collect()
+    }
+    assert got <= truth  # exact verify: no false positives
+    assert len(truth) > 100
+    assert len(got & truth) / len(truth) >= 0.9
+
+
 def test_simhash_neighbors_complete_vs_bruteforce(spark):
     """Pigeonhole blocking must find EVERY pair within the Hamming
     radius (it's an exact method, not approximate)."""
