@@ -453,19 +453,30 @@ def _bmw_group_fn(k: int):
 
 
 def search_bmw(
-    index, queries: DataFrame, k: int = 10, _rows: list | None = None
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    _rows: list | None = None,
+    subgroup_cap: int = 32,
 ) -> DataFrame:
     """Block-max pruned top-k with heavy-group salt sharding.
 
     Per-query parallelism: a query whose matched terms include salted
-    head grams is split into ``n_groups = max(n_salts)`` subgroups, one
-    per doc shard (codec.doc_salt residue). Every term's salt count is
-    a power of two dividing n_groups, so a block with salt j serves the
-    subgroups g ≡ j (mod n_salts) — blocks of low-salt (rare) terms
-    are replicated across subgroups but are tiny by construction, while
-    the heavy salted runs (the actual work) partition cleanly. Each
-    subgroup computes EXACT scores for its disjoint doc shard, so the
-    union of per-subgroup top-ks contains the global top-k.
+    head grams is split into ``n_groups = min(max(n_salts),
+    subgroup_cap)`` subgroups, one per doc shard (codec.doc_salt
+    residue; all powers of two). Block → subgroup mapping:
+
+    * term with n_salts ≤ n_groups: block (t, j) serves the subgroups
+      g ≡ j (mod n_salts) — low-salt (rare) terms replicate across
+      subgroups but are tiny by construction;
+    * term with n_salts > n_groups (a stopword gram salted finer than
+      the split): block (t, j) maps to EXACTLY one subgroup
+      g = j mod n_groups (its docs all share that residue) — the cap
+      bounds per-query fan-out so one 1024-salt gram in an otherwise
+      selective query can't multiply the rare-term decode work.
+
+    Each subgroup computes EXACT scores for its disjoint doc shard, so
+    the union of per-subgroup top-ks contains the global top-k.
     """
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
@@ -475,7 +486,8 @@ def search_bmw(
         for q in r["qs"]:
             qid = int(q["query_id"])
             n_groups_by_q[qid] = max(
-                n_groups_by_q.get(qid, 1), int(r["n_salts"])
+                n_groups_by_q.get(qid, 1),
+                min(int(r["n_salts"]), subgroup_cap),
             )
     qt = index.spark.createDataFrame(
         [
@@ -496,8 +508,10 @@ def search_bmw(
         "grp",
         F.explode(
             F.expr(
+                "CASE WHEN n_salts <= n_groups THEN "
                 "transform(sequence(0, cast(n_groups / n_salts as int) - 1), "
-                "m -> salt + m * n_salts)"
+                "m -> salt + m * n_salts) "
+                "ELSE array(cast(pmod(salt, n_groups) as int)) END"
             )
         ),
     )
