@@ -221,7 +221,10 @@ def _entry_index(spark: SparkSession, sf_dir: str):
         f"/tmp/ncs_entry_idx_{tag}",
         id_col="doc_id",
         n_buckets=8,
-        salt_every=1000,
+        # low salt_every so head grams ARE salted at sf0.01 — the
+        # correctness gate then covers the salted runs + the BMW
+        # subgroup split, not just the trivial single-salt layout
+        salt_every=50,
     )
 
 
