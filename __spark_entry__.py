@@ -257,6 +257,43 @@ def _q_bm25_topk_compressed(mode: str):
     return q
 
 
+def _q_tfidf_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the tfidf-weighted compressed index: the
+    block-max path must match the exact TfIdf oracle on the 4-dp
+    grid (float32 stored weights)."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from neural_cherche_spark.index.builder import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = build_index(
+        spark,
+        _docs(spark, sf_dir),
+        f"/tmp/ncs_entry_tfidf_{tag}",
+        id_col="doc_id",
+        n_buckets=8,
+        salt_every=50,
+        weighting="tfidf",
+    )
+    res = (
+        idx.search(_queries_df(spark), k=TOP_K, mode="bmw")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", _COMPRESSED_DP).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return res.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select("query_id", "doc_id", "score", "rank")
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over L2-normalized smoothed tf-idf (reference
     retrieve.TfIdf semantics; SURVEY §2.9 TfIdf variant)."""
@@ -651,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
         "bm25_topk_distributed": _q_bm25_topk_compressed("distributed"),
         "tfidf_topk": _q_tfidf_topk,
+        "tfidf_topk_bmw": _q_tfidf_topk_bmw,
         "field_concat": _q_field_concat,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -744,7 +782,10 @@ def oracle_sql() -> dict[str, str]:
         """
             for name in ("bm25_topk_bmw", "bm25_topk_distributed")
         },
-        "tfidf_topk": f"""
+        # tfidf: exact DataFrame path at 6 dp; compressed block-max
+        # path at 4 dp (float32 stored weights)
+        **{
+            name: f"""
             WITH {_TOK_DOCS}, {_TOK_QUERIES},
             dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
@@ -775,10 +816,10 @@ def oracle_sql() -> dict[str, str]:
               FROM qraw JOIN qnorm USING (query_id)
             ),
             scored AS (
-              SELECT qw.query_id, w.doc_id, round(sum(qw.qw * w.w), 6) AS score
+              SELECT qw.query_id, w.doc_id, round(sum(qw.qw * w.w), {dp}) AS score
               FROM qw JOIN w USING (term)
               GROUP BY 1, 2
-              HAVING round(sum(qw.qw * w.w), 6) > 0
+              HAVING round(sum(qw.qw * w.w), {dp}) > 0
             )
             SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
             FROM (
@@ -786,7 +827,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
               ) AS rnk FROM scored
             ) WHERE rnk <= {TOP_K}
-        """,
+        """
+            for name, dp in (
+                ("tfidf_topk", 6),
+                ("tfidf_topk_bmw", _COMPRESSED_DP),
+            )
+        },
         "field_concat": """
             SELECT doc_id,
                    concat(coalesce(source, ''), ' ', coalesce(text, '')) AS joined

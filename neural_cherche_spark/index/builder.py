@@ -206,8 +206,18 @@ def build_index(
     block_size: int = 128,
     salt_every: int = 50_000,
     resume: bool = True,
+    weighting: str = "bm25",
 ) -> "BM25Index":
-    """Build (or resume building) a compressed BM25 index on disk."""
+    """Build (or resume building) a compressed index on disk.
+
+    ``weighting="bm25"`` (default) — reference retrieve.BM25 weights;
+    ``weighting="tfidf"`` — reference retrieve.TfIdf weights (smoothed
+    idf, per-doc L2 norm; all non-negative, so block-max pruning runs
+    at full strength). Query modes read the weighting from the
+    manifest and apply the matching query-side weighting.
+    """
+    if weighting not in ("bm25", "tfidf"):
+        raise ValueError(f"unknown weighting {weighting!r}")
     cat = IndexCatalog(index_dir)
     walls: dict[str, float] = {}
     if n_buckets is None:
@@ -228,7 +238,7 @@ def build_index(
         key_out = "url"
     cfg_sig = (
         f"k1={cfg.k1},b={cfg.b},eps={cfg.epsilon},n={cfg.n_min}-{cfg.n_max},"
-        f"bs={block_size},se={salt_every},nb={n_buckets}"
+        f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting}"
     )
     fingerprint = _fingerprint(docs_keyed, "doc_id", text_col, cfg_sig)
     manifest = cat.load_manifest() if resume else None
@@ -257,7 +267,7 @@ def build_index(
     walls["docmap"] = time.perf_counter() - t0
     return _finish_build(
         spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
-        salt_every, manifest, walls, index_dir,
+        salt_every, manifest, walls, index_dir, weighting,
     )
 
 
@@ -273,6 +283,7 @@ def _finish_build(
     manifest,
     walls: dict,
     index_dir: str,
+    weighting: str = "bm25",
 ) -> "BM25Index":
     """Stages downstream of the materialized tf + docmap tables —
     shared by ``build_index`` and the incremental/streaming
@@ -295,70 +306,89 @@ def _finish_build(
     t0 = time.perf_counter()
     stats_row = collection_stats(dl).collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    # POWER OF TWO, capped: every term's salt count must divide the
+    # per-query split factor so the block-max path can shard heavy
+    # query groups into disjoint doc subsets (query/bmw.py subgroup
+    # split). Cap 1024: beyond that a single salt run still holds
+    # ≥ salt_every postings and the heavy query is routed to the bulk
+    # decode-score path anyway (search_auto).
+    n_salts_col = F.least(
+        F.lit(1024),
+        F.pow(
+            F.lit(2.0),
+            F.ceil(
+                F.log2(
+                    F.greatest(
+                        F.lit(1.0),
+                        F.ceil(F.col("df") / F.lit(salt_every)),
+                    )
+                )
+            ),
+        ).cast("int"),
+    )
     if not cat.stage_done(manifest, "termdict", fingerprint):
-        # ONE pass over tf computes tf_total, df AND the norm base:
-        # w1 (the tf component) does not depend on idf, and
-        # norm = sqrt(Σ(w1·idf)²) = |idf|·sqrt(Σw1²), so Σw1² can be
-        # aggregated alongside tf_total — no second full-corpus pass,
-        # and the weights stage later needs only a broadcast join
-        # against this small table (SURVEY §4.4, window-free).
-        w1 = tf.join(dl, "doc_id").withColumn(
-            "w1",
-            F.col("tf")
-            * (cfg.k1 + 1.0)
-            / (
+        if weighting == "bm25":
+            # ONE pass over tf computes tf_total, df AND the norm base:
+            # w1 (the tf component) does not depend on idf, and
+            # norm = sqrt(Σ(w1·idf)²) = |idf|·sqrt(Σw1²), so Σw1² can be
+            # aggregated alongside tf_total — no second full-corpus
+            # pass, and the weights stage later needs only a broadcast
+            # join against this small table (SURVEY §4.4, window-free).
+            w1 = tf.join(dl, "doc_id").withColumn(
+                "w1",
                 F.col("tf")
-                + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                * (cfg.k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + cfg.k1
+                    * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                )
+                + F.lit(cfg.epsilon),
             )
-            + F.lit(cfg.epsilon),
-        )
-        ts = (
-            w1.groupBy("term")
-            .agg(
-                F.sum("tf").alias("tf_total"),
-                F.count(F.lit(1)).alias("df"),
-                F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+            ts = (
+                w1.groupBy("term")
+                .agg(
+                    F.sum("tf").alias("tf_total"),
+                    F.count(F.lit(1)).alias("df"),
+                    F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+                )
+                .withColumn(
+                    "idf",
+                    F.log(
+                        (F.lit(n_docs) - F.col("tf_total") + 0.5)
+                        / (F.col("tf_total") + 0.5)
+                        + 1.0
+                    ),
+                )
+                .withColumn(
+                    "term_norm",
+                    F.when(
+                        F.col("idf") == 0, F.lit(1.0)
+                    ).otherwise(F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))),
+                )
+                .withColumn("n_salts", n_salts_col)
+                .drop("sw1sq")
             )
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.lit(n_docs) - F.col("tf_total") + 0.5)
-                    / (F.col("tf_total") + 0.5)
-                    + 1.0
-                ),
+        else:
+            # tfidf: smoothed idf ln((1+N)/(1+df)) + 1 (always > 0);
+            # normalization is per DOC, done in the weights stage —
+            # term_norm kept at 1.0 for schema compatibility
+            ts = (
+                tf.groupBy("term")
+                .agg(
+                    F.sum("tf").alias("tf_total"),
+                    F.count(F.lit(1)).alias("df"),
+                )
+                .withColumn(
+                    "idf",
+                    F.log(
+                        (1.0 + F.lit(n_docs)) / (1.0 + F.col("df"))
+                    )
+                    + 1.0,
+                )
+                .withColumn("term_norm", F.lit(1.0))
+                .withColumn("n_salts", n_salts_col)
             )
-            .withColumn(
-                "term_norm",
-                F.when(
-                    F.col("idf") == 0, F.lit(1.0)
-                ).otherwise(F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))),
-            )
-            .withColumn(
-                # POWER OF TWO, capped: every term's salt count must
-                # divide the per-query split factor max(n_salts) so the
-                # block-max path can shard heavy query groups into
-                # disjoint doc subsets (query/bmw.py subgroup split).
-                # Cap 1024: beyond that a single salt run still holds
-                # ≥ salt_every postings and the heavy query is routed
-                # to the bulk decode-score path anyway (search_auto).
-                "n_salts",
-                F.least(
-                    F.lit(1024),
-                    F.pow(
-                        F.lit(2.0),
-                        F.ceil(
-                            F.log2(
-                                F.greatest(
-                                    F.lit(1.0),
-                                    F.ceil(F.col("df") / F.lit(salt_every)),
-                                )
-                            )
-                        ),
-                    ).cast("int"),
-                ),
-            )
-            .drop("sw1sq")
-        )
         termdict = _zip_with_index(ts, "term", "term_id")
         termdict.write.mode("overwrite").parquet(cat.path("termdict"))
     walls["termdict"] = time.perf_counter() - t0
@@ -368,7 +398,14 @@ def _finish_build(
     # ---- postings -------------------------------------------------------
     t0 = time.perf_counter()
     if not cat.stage_done(manifest, "postings", fingerprint):
-        w = weights_from_tf(tf, dl, termdict, n_docs, avgdl, cfg)
+        if weighting == "bm25":
+            w = weights_from_tf(tf, dl, termdict, n_docs, avgdl, cfg)
+        else:
+            from neural_cherche_spark.index.builder_weights import (
+                tfidf_weights_from_tf,
+            )
+
+            w = tfidf_weights_from_tf(tf, termdict)
         salted = (
             w.withColumn(
                 # numpy-reproducible salt (codec.doc_salt): the query
@@ -436,6 +473,7 @@ def _finish_build(
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,
             "n_min": cfg.n_min, "n_max": cfg.n_max,
             "block_size": block_size, "salt_every": salt_every,
+            "weighting": weighting,
         },
         input_fingerprint=fingerprint,
         n_docs=n_docs,

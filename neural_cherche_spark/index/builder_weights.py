@@ -13,6 +13,37 @@ from pyspark.sql import functions as F
 from neural_cherche_spark.index.build import BM25Config
 
 
+def tfidf_weights_from_tf(
+    tf: DataFrame,
+    termdict: DataFrame,
+    broadcast_termdict: bool = True,
+) -> DataFrame:
+    """(term_id, doc_id, w, n_salts) L2-per-DOC-normalized smoothed
+    tf-idf weights (reference ``retrieve.TfIdf`` semantics,
+    index/build.py::tfidf_weights) against a prebuilt termdict whose
+    ``idf`` column holds ln((1+N)/(1+df)) + 1.
+
+    Plan: tf ⋈ broadcast(termdict) → per-doc norm via groupBy(doc_id)
+    + join (one doc-keyed shuffle; window-free). All weights are
+    non-negative, so the block-max query path prunes at full strength
+    on a tfidf-weighted index.
+    """
+    td = termdict.select("term", "term_id", "idf", "n_salts")
+    if broadcast_termdict:
+        td = F.broadcast(td)
+    w_raw = tf.join(td, "term").withColumn(
+        "w_raw", F.col("tf") * F.col("idf")
+    )
+    doc_norm = w_raw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("doc_norm")
+    )
+    return (
+        w_raw.join(doc_norm, "doc_id")
+        .withColumn("w", F.col("w_raw") / F.col("doc_norm"))
+        .select("term_id", "doc_id", "w", "n_salts")
+    )
+
+
 def weights_from_tf(
     tf: DataFrame,
     dl: DataFrame,

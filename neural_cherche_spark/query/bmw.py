@@ -63,15 +63,16 @@ _SCORE_SCHEMA = StructType(
 
 
 def _query_terms(index, queries: DataFrame) -> DataFrame:
-    """(query_id, term_id, qtf, df, n_salts) for matched terms only
-    (frozen-vocabulary semantics: unmatched terms drop, tfidf.py:134)."""
+    """(query_id, term_id, qtf, df, idf, n_salts) for matched terms
+    only (frozen-vocabulary semantics: unmatched terms drop,
+    tfidf.py:134)."""
     cfg = index.manifest.cfg
     qt = query_term_counts(
         queries, n_min=int(cfg["n_min"]), n_max=int(cfg["n_max"])
     )
-    td = index.termdict.select("term", "term_id", "df", "n_salts")
+    td = index.termdict.select("term", "term_id", "df", "idf", "n_salts")
     return td.join(F.broadcast(qt), "term").select(
-        "query_id", "term_id", "qtf", "df", "n_salts"
+        "query_id", "term_id", "qtf", "df", "idf", "n_salts"
     )
 
 
@@ -81,11 +82,18 @@ def _matched_terms(index, queries: DataFrame) -> list:
     so parquet partition pruning is exact), and the (query_id, qtf)
     fan-out list. Every search mode derives its broadcast map, scan
     pruning, routing volumes, and subgroup split from this single
-    collect (round-1 VERDICT "what's wrong" #4: 3 collects/call)."""
+    collect (round-1 VERDICT "what's wrong" #4: 3 collects/call).
+
+    For a tfidf-weighted index (manifest cfg), the query side of the
+    dot product is idf-weighted L2-normalized counts (reference
+    retrieve.TfIdf, tfidf.py:123-144 + cosine semantics): the qs
+    entries carry qtf·idf/‖q‖ instead of raw qtf — the downstream
+    scorers are weighting-agnostic.
+    """
     n_buckets = index.manifest.n_buckets
-    return (
+    rows = (
         _query_terms(index, queries)
-        .groupBy("term_id", "n_salts", "df")
+        .groupBy("term_id", "n_salts", "df", "idf")
         .agg(F.collect_list(F.struct("query_id", "qtf")).alias("qs"))
         .withColumn(
             "buckets",
@@ -96,6 +104,34 @@ def _matched_terms(index, queries: DataFrame) -> list:
         )
         .collect()
     )
+    if index.manifest.cfg.get("weighting", "bm25") != "tfidf":
+        return rows
+    qnorm_sq: dict[int, float] = {}
+    for r in rows:
+        for q in r["qs"]:
+            qid = int(q["query_id"])
+            qw = float(q["qtf"]) * float(r["idf"])
+            qnorm_sq[qid] = qnorm_sq.get(qid, 0.0) + qw * qw
+    out = []
+    for r in rows:
+        out.append(
+            {
+                "term_id": r["term_id"],
+                "n_salts": r["n_salts"],
+                "df": r["df"],
+                "buckets": r["buckets"],
+                "qs": [
+                    {
+                        "query_id": int(q["query_id"]),
+                        "qtf": float(q["qtf"])
+                        * float(r["idf"])
+                        / (qnorm_sq[int(q["query_id"])] ** 0.5),
+                    }
+                    for q in r["qs"]
+                ],
+            }
+        )
+    return out
 
 
 def _postings_for(index, rows: list) -> DataFrame:

@@ -116,6 +116,7 @@ class CompressedIndexStream:
         block_size: int = 128,
         salt_every: int = 50_000,
         resume: bool = True,
+        weighting: str = "bm25",
     ):
         """Build (or refresh) the compressed index from the accumulated
         state. Identical artifact to ``build_index`` over the union of
@@ -142,7 +143,7 @@ class CompressedIndexStream:
         cfg_sig = (
             f"k1={cfg.k1},b={cfg.b},eps={cfg.epsilon},"
             f"n={cfg.n_min}-{cfg.n_max},"
-            f"bs={block_size},se={salt_every},nb={n_buckets}"
+            f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting}"
         )
         row = tf_acc.agg(
             F.count(F.lit(1)).alias("n"),
@@ -175,7 +176,7 @@ class CompressedIndexStream:
         walls["docmap"] = time.perf_counter() - t0
         return _finish_build(
             spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
-            salt_every, manifest, walls, index_dir,
+            salt_every, manifest, walls, index_dir, weighting,
         )
 
 
