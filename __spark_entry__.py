@@ -1148,14 +1148,22 @@ def oracle_sql() -> dict[str, str]:
                                 (term_id % 4)::INT * 16 + 16) AS de
               FROM dacts JOIN embeddings e ON e.vec_id = dacts.doc_id
             ),
-            scored AS (
+            inter AS (
               SELECT c.query_id, c.doc_id,
-                     round(sum(list_sum(list_transform(range(1, 17),
-                        j -> qte.qe[j]::DOUBLE * dte.de[j]::DOUBLE))), 6) AS score
+                     sum(list_sum(list_transform(range(1, 17),
+                        j -> qte.qe[j]::DOUBLE * dte.de[j]::DOUBLE))) AS score
               FROM cand c
               JOIN qte USING (query_id)
               JOIN dte ON dte.doc_id = c.doc_id AND dte.term_id = qte.term_id
               GROUP BY 1, 2
+            ),
+            -- empty-intersection candidates score 0 and STAY ranked
+            -- (reference keeps every stage-1 candidate)
+            scored AS (
+              SELECT c.query_id, c.doc_id,
+                     round(coalesce(i.score, 0.0), 6) AS score
+              FROM cand c
+              LEFT JOIN inter i USING (query_id, doc_id)
             )
             SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
             FROM (

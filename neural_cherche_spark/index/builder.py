@@ -494,11 +494,20 @@ class BM25Index:
     """Handle over a built on-disk index."""
 
     def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        from neural_cherche_spark.catalog import SALT_LAYOUT_VERSION
+
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self.manifest = self.cat.load_manifest()
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest at {index_dir}")
+        # pre-v2 indexes used a different salt function (and free-form
+        # n_salts); the block-max subgroup path would silently drop
+        # salted-term docs on them — search routes them to the
+        # salt-agnostic distributed path instead (ADVICE r2).
+        self.salt_layout_ok = (
+            int(getattr(self.manifest, "version", 1)) >= SALT_LAYOUT_VERSION
+        )
         self._termdict: DataFrame | None = None
 
     @property
@@ -528,3 +537,17 @@ class BM25Index:
         from neural_cherche_spark.query.bmw import search_index
 
         return search_index(self, queries, k=k, mode=mode)
+
+    def close(self) -> None:
+        """Release executor-cached state (the termdict cache). Sessions
+        that open many indexes must close handles they are done with or
+        cached tables accumulate in executor storage."""
+        if self._termdict is not None:
+            self._termdict.unpersist()
+            self._termdict = None
+
+    def __enter__(self) -> "BM25Index":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -105,18 +105,27 @@ def sparse_embed_scores(
     The intersection is realized as the (doc_id, term_id) equi-join of
     the two token-embedding tables restricted to candidate pairs —
     terms activated on only one side drop out of the inner join.
+    Candidates whose intersection is EMPTY score 0.0 and stay in the
+    ranking (the reference keeps every stage-1 candidate and topk's
+    over all of them, sparse_embed.py:400-410 — an inner join alone
+    would shorten the result list; ADVICE r2).
     """
     q = query_token_embs.select(
         "query_id", "term_id", F.col("emb").alias("qe")
     )
     d = doc_token_embs.select("doc_id", "term_id", F.col("emb").alias("de"))
     pairs = candidates.select("query_id", "doc_id")
-    return (
+    inter = (
         pairs.join(q, "query_id")
         .join(d, ["doc_id", "term_id"])
         .withColumn("dot", F.expr(_DOT))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("dot").alias("score"))
+    )
+    return pairs.join(inter, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
     )
 
 

@@ -514,6 +514,18 @@ def search_bmw(
     Each subgroup computes EXACT scores for its disjoint doc shard, so
     the union of per-subgroup top-ks contains the global top-k.
     """
+    if not getattr(index, "salt_layout_ok", True):
+        raise ValueError(
+            "index predates the codec.doc_salt layout (manifest version "
+            f"{index.manifest.version}): the subgroup split would drop "
+            "salted-term docs — rebuild the index or use mode='distributed'"
+        )
+    if subgroup_cap < 1:
+        raise ValueError(f"subgroup_cap must be >= 1, got {subgroup_cap}")
+    # the doc-disjointness proof requires n_groups | n_salts whenever
+    # n_salts > n_groups — both must be powers of two. n_salts is by
+    # construction; round the cap down to one (ADVICE r2).
+    subgroup_cap = 1 << (subgroup_cap.bit_length() - 1)
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
@@ -586,6 +598,8 @@ def search_auto(
     # postings volumes (routing), and the per-side match rows are
     # carved out in the driver — the sub-searches run zero extra
     # pre-jobs (round-1 VERDICT "what's wrong" #4).
+    if not getattr(index, "salt_layout_ok", True):
+        return search_distributed(index, queries, k)
     rows = _matched_terms(index, queries)
     if not rows:
         return _empty_result(index.spark)
@@ -627,6 +641,10 @@ def search_auto(
 
 def search_index(index, queries: DataFrame, k: int = 10, mode: str = "bmw") -> DataFrame:
     if mode == "bmw":
+        if not getattr(index, "salt_layout_ok", True):
+            # pre-doc_salt layout: the subgroup path is unsound here;
+            # the decode-everything path is salt-agnostic and exact
+            return search_distributed(index, queries, k)
         return search_bmw(index, queries, k)
     if mode == "distributed":
         return search_distributed(index, queries, k)

@@ -152,6 +152,34 @@ class CompressedIndexStream:
             ).alias("h"),
         ).collect()[0]
         fingerprint = f"tf:{row['n']}:{row['h']}:{cfg_sig}"
+        # mirror build_index._fingerprint's id validation (ADVICE r2):
+        # out-of-range ids corrupt the packed (query_id<<41)|doc_id
+        # combine and doc_salt subgrouping; a doc_id re-added across
+        # batches double-counts silently. One column-pruned pass over
+        # the (narrow) doc registry.
+        from neural_cherche_spark.index.builder import MAX_DOC_ID
+
+        drow = (
+            spark.read.parquet(self._p("docs"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()[0]
+        )
+        if drow["n"]:
+            if drow["lo"] < 0 or drow["hi"] > MAX_DOC_ID:
+                raise ValueError(
+                    f"doc ids must be in [0, 2^41): got range "
+                    f"[{drow['lo']}, {drow['hi']}] across accumulated batches"
+                )
+            if drow["nd"] != drow["n"]:
+                raise ValueError(
+                    f"duplicate doc_ids across batches: {drow['n']} rows, "
+                    f"{drow['nd']} distinct — each batch must carry new ids"
+                )
         manifest = cat.load_manifest() if resume else None
         walls: dict[str, float] = {}
 

@@ -67,8 +67,12 @@ class IncrementalBM25Builder:
         return {"n_batches": 0, "n_docs": 0, "applied_epochs": {}}
 
     def _save_meta(self, m: dict) -> None:
-        with open(self._p("meta.json"), "w") as f:
+        # tmp + atomic rename: a crash mid-write must never leave a
+        # truncated meta.json (epoch-idempotent replay depends on it)
+        tmp = self._p("meta.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(m, f)
+        os.replace(tmp, self._p("meta.json"))
 
     def _read(self, name: str) -> DataFrame | None:
         p = self._p(name)
