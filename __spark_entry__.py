@@ -505,6 +505,38 @@ def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_colbert_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieve.ColBERT semantics (reference retrieve/colbert.py:120-190):
+    MaxSim over the FULL corpus for every query — no candidate list, no
+    positive-score filter. Same deterministic token fixture as
+    colbert_maxsim (4 tokens = 16-dim slices of each vector)."""
+    from neural_cherche_spark.ops.maxsim import maxsim_retrieve
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tok = "array(slice(embedding,1,16), slice(embedding,17,16), slice(embedding,33,16), slice(embedding,49,16))"
+    doc_tokens = vecs.select(
+        F.col("vec_id").alias("doc_id"), F.expr(tok).alias("d_tokens")
+    )
+    query_tokens = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.expr(tok).alias("q_tokens")
+    )
+    ranked = maxsim_retrieve(doc_tokens, query_tokens, k=None).withColumn(
+        "score", F.round("score", 6)
+    )
+    # re-rank on the ROUNDED score so grid ties break identically in
+    # both engines (same protocol as the other score-graded entries)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sparse neural retrieval (Splade / SparseEmbed semantics, torch-free)
 # ---------------------------------------------------------------------------
@@ -704,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
         "colbert_maxsim": _q_colbert_maxsim,
+        "colbert_retrieve": _q_colbert_retrieve,
         "splade_topk": _q_splade_topk,
         "sparse_embed_topk": _q_sparse_embed_topk,
         "eval_metrics": _q_eval_metrics,
@@ -1087,6 +1120,29 @@ def oracle_sql() -> dict[str, str]:
                           list_sum(list_transform(range(1, len(qt) + 1),
                             i -> qt[i]::DOUBLE * dt[i]::DOUBLE)))))), 6) AS score
               FROM qtok q JOIN tok d ON d.vec_id % 5 = q.query_id
+            )
+            SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "colbert_retrieve": """
+            WITH tok AS (
+              SELECT vec_id,
+                     [list_slice(embedding, 1, 16), list_slice(embedding, 17, 32),
+                      list_slice(embedding, 33, 48), list_slice(embedding, 49, 64)] AS v
+              FROM embeddings
+            ),
+            qtok AS (SELECT vec_id AS query_id, v FROM tok WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, d.vec_id AS doc_id,
+                     round(list_sum(list_transform(q.v, qt ->
+                        list_max(list_transform(d.v, dt ->
+                          list_sum(list_transform(range(1, len(qt) + 1),
+                            i -> qt[i]::DOUBLE * dt[i]::DOUBLE)))))), 6) AS score
+              FROM qtok q CROSS JOIN tok d
             )
             SELECT query_id, doc_id, score, CAST(rnk AS BIGINT) AS rank
             FROM (

@@ -60,6 +60,31 @@ def maxsim_scores(
     )
 
 
+def maxsim_retrieve(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int | None = 10,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) MaxSim over the FULL corpus —
+    the retrieval (not re-ranking) shape (reference retrieve/colbert.py
+    :120-190 scores every added document for every query; no candidate
+    list, no positive-score filter — torch.topk keeps the k best
+    regardless of sign).
+
+    Plan: the (small) query-token batch is broadcast against the doc
+    table, so the corpus is scanned once with no shuffle; the only
+    shuffle is the per-query top-k window. ``k=None`` ranks all docs.
+    """
+    scored = doc_tokens.crossJoin(F.broadcast(query_tokens)).select(
+        "query_id", "doc_id", F.expr(_MAXSIM).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked if k is None else ranked.filter(F.col("rank") <= k)
+
+
 def maxsim_rank(
     candidates: DataFrame,
     doc_tokens: DataFrame,

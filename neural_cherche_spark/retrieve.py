@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from neural_cherche_spark.index.build import BM25Config, tfidf_weights
 from neural_cherche_spark.query.exact import retrieve_exact
+from neural_cherche_spark.rank import ColBERT as _RankColBERT
 from neural_cherche_spark.streaming.incremental import IncrementalBM25Builder
 
 
@@ -296,6 +297,90 @@ class SparseEmbed(Splade):
             candidates_k=self.candidates_k,
         )
         return self._assemble(res)
+
+
+class ColBERT(_RankColBERT):
+    """Distributed ColBERT *retriever* (reference retrieve/colbert.py:9
+    — a subclass of the ranker that MaxSim-scores the FULL added corpus
+    for every query, no stage-1 candidate list).
+
+    ``encoder(texts) -> list[token-embedding matrices]`` replaces the
+    torch model, as in :class:`neural_cherche_spark.rank.ColBERT`.
+    ``add()`` accumulates document token embeddings, skipping keys
+    already added (reference colbert.py:105-122); ``__call__`` returns
+    per-query ``[{key, similarity}, ...]`` for the k best docs —
+    scores are NOT positive-filtered (torch.topk keeps the k best
+    regardless of sign).
+
+    This list[dict] API is the compat surface, not the 100 TB path: the
+    engine-level path is a token-embedding table straight into
+    ``ops.maxsim.maxsim_retrieve`` (broadcast queries, one corpus scan).
+    """
+
+    def __init__(
+        self,
+        key: str,
+        on: str | list[str],
+        encoder,
+        spark: SparkSession | None = None,
+    ) -> None:
+        super().__init__(key, on, encoder, spark)
+        self._doc_tokens: DataFrame | None = None
+        self._key_values: list = []
+        self._seen: set[str] = set()
+
+    def encode_documents(self, documents: list[dict]) -> DataFrame:
+        self._pending_keys = [doc[self.key] for doc in documents]
+        return super().encode_documents(documents)
+
+    def add(self, documents_embeddings: DataFrame) -> "ColBERT":
+        # skip keys already added (reference keeps the FIRST embedding
+        # for a key and never re-scores duplicates)
+        if self._seen:
+            fresh = documents_embeddings.filter(
+                ~F.col("doc_key").isin(sorted(self._seen))
+            )
+        else:
+            fresh = documents_embeddings
+        self._doc_tokens = (
+            fresh
+            if self._doc_tokens is None
+            else self._doc_tokens.unionByName(fresh)
+        )
+        for kv in getattr(self, "_pending_keys", []):
+            if str(kv) not in self._seen:
+                self._seen.add(str(kv))
+                self._key_values.append(kv)
+        self._pending_keys = []
+        return self
+
+    def __call__(
+        self, queries_embeddings: DataFrame, k: int | None = None
+    ) -> list[list[dict]]:
+        from neural_cherche_spark.ops.maxsim import maxsim_retrieve
+
+        if self._doc_tokens is None:
+            raise RuntimeError("no documents added")
+        res = maxsim_retrieve(
+            self._doc_tokens.withColumnRenamed("doc_key", "doc_id"),
+            queries_embeddings,
+            k=k,
+        )
+        key_map = {str(kv): kv for kv in self._key_values}
+        by_query: dict[int, list] = {}
+        for r in sorted(
+            res.collect(), key=lambda r: (r["query_id"], r["rank"])
+        ):
+            by_query.setdefault(int(r["query_id"]), []).append(
+                {
+                    self.key: key_map.get(r["doc_id"], r["doc_id"]),
+                    "similarity": float(r["score"]),
+                }
+            )
+        n_queries = len(getattr(self, "_queries", [])) or (
+            max(by_query) + 1 if by_query else 0
+        )
+        return [by_query.get(qid, []) for qid in range(n_queries)]
 
 
 class TfIdf:
