@@ -53,6 +53,14 @@ class Manifest:
     n_buckets: int = 0
     stages: dict = field(default_factory=dict)  # stage -> {"done": ..., "wall_s": ...}
     created_unix: float = 0.0
+    # segmented (raw-storage) layout: one entry per postings/seg=K dir;
+    # delta materialization appends entries without touching old ones
+    segments: list = field(default_factory=list)
+    # current termdict snapshot table name — delta refreshes write a
+    # NEW revision dir (termdict_r{K}) and flip this pointer atomically
+    # with the manifest save (can't overwrite a parquet dir in place
+    # while deriving the new snapshot from it)
+    termdict_path: str = "termdict"
 
 
 class IndexCatalog:

@@ -77,6 +77,33 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
+# RAW storage: blocks carry per-posting (tf, dl) varints; weights are
+# computed at query time from the CURRENT termdict stats. This is what
+# makes incremental refresh O(new batch): old blocks never re-encode
+# when collection statistics move (codec.encode_partition_bulk_raw).
+POSTINGS_RAW_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("term_id", LongType()),
+        StructField("salt", IntegerType()),
+        StructField("n_salts", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_tf", LongType()),
+        StructField("min_tf", LongType()),
+        StructField("min_dl", LongType()),
+        StructField("max_dl", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("docs", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),
+        StructField("enc_ms", DoubleType()),
+    ]
+)
+
+
 @dataclass
 class BuildReport:
     n_docs: int
@@ -219,6 +246,53 @@ def _encode_bucket_fn(block_size: int):
     return encode
 
 
+def _encode_bucket_raw_fn(block_size: int):
+    """applyInPandas fn: raw-encode one bucket's (term_id, salt) runs."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from neural_cherche_spark.index.codec import encode_partition_bulk_raw
+
+        t0 = time.perf_counter()
+        pdf = pdf.sort_values(["term_id", "salt", "doc_id"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0])
+        enc = encode_partition_bulk_raw(
+            pdf["term_id"].to_numpy(),
+            pdf["salt"].to_numpy(),
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["dl"].to_numpy(),
+            pdf["n_salts"].to_numpy(),
+            block_size,
+        )
+        ms = (time.perf_counter() - t0) * 1000.0
+        nb = len(enc["n"])
+        return pd.DataFrame(
+            {
+                "bucket": np.full(nb, bucket, dtype=np.int32),
+                "term_id": enc["term_id"],
+                "salt": enc["salt"].astype(np.int32),
+                "n_salts": enc["n_salts"].astype(np.int32),
+                "block_id": enc["block_id"].astype(np.int32),
+                "n": enc["n"].astype(np.int32),
+                "first_doc": enc["first_doc"],
+                "last_doc": enc["last_doc"],
+                "max_tf": enc["max_tf"],
+                "min_tf": enc["min_tf"],
+                "min_dl": enc["min_dl"],
+                "max_dl": enc["max_dl"],
+                "n_bytes": enc["n_bytes"],
+                "docs": enc["docs"],
+                "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "enc_ms": np.full(nb, ms),
+            }
+        )
+
+    return encode
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -232,6 +306,7 @@ def build_index(
     salt_every: int = 50_000,
     resume: bool = True,
     weighting: str = "bm25",
+    storage: str = "weights",
 ) -> "BM25Index":
     """Build (or resume building) a compressed index on disk.
 
@@ -240,9 +315,24 @@ def build_index(
     idf, per-doc L2 norm; all non-negative, so block-max pruning runs
     at full strength). Query modes read the weighting from the
     manifest and apply the matching query-side weighting.
+
+    ``storage="weights"`` (default) — blocks store precomputed float32
+    weights (reference bm25.py:151-153 f32 parity);
+    ``storage="raw"`` — blocks store per-posting (tf, dl) varints and
+    weights are computed at query time (full f64) from the current
+    termdict stats. Raw is the segmented/incremental layout: old
+    blocks are immutable under collection growth, which is what makes
+    CompressedIndexStream's delta materialization O(new batch). Raw
+    requires bm25 weighting (the tfidf per-DOC norm couples every
+    posting of a doc to the global idf vector — a raw tfidf block
+    cannot be scored block-locally).
     """
     if weighting not in ("bm25", "tfidf"):
         raise ValueError(f"unknown weighting {weighting!r}")
+    if storage not in ("weights", "raw"):
+        raise ValueError(f"unknown storage {storage!r}")
+    if storage == "raw" and weighting != "bm25":
+        raise ValueError("storage='raw' supports only bm25 weighting")
     cat = IndexCatalog(index_dir)
     walls: dict[str, float] = {}
     if n_buckets is None:
@@ -266,7 +356,8 @@ def build_index(
         key_out = "url"
     cfg_sig = (
         f"k1={cfg.k1},b={cfg.b},eps={cfg.epsilon},n={cfg.n_min}-{cfg.n_max},"
-        f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting}"
+        f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting},"
+        f"st={storage}"
     )
     fingerprint = _fingerprint(docs_keyed, "doc_id", text_col, cfg_sig)
     manifest = cat.load_manifest() if resume else None
@@ -295,7 +386,7 @@ def build_index(
     walls["docmap"] = time.perf_counter() - t0
     return _finish_build(
         spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
-        salt_every, manifest, walls, index_dir, weighting,
+        salt_every, manifest, walls, index_dir, weighting, storage,
     )
 
 
@@ -312,6 +403,7 @@ def _finish_build(
     walls: dict,
     index_dir: str,
     weighting: str = "bm25",
+    storage: str = "weights",
 ) -> "BM25Index":
     """Stages downstream of the materialized tf + docmap tables —
     shared by ``build_index`` and the incremental/streaming
@@ -426,14 +518,40 @@ def _finish_build(
     # ---- postings -------------------------------------------------------
     t0 = time.perf_counter()
     if not cat.stage_done(manifest, "postings", fingerprint):
-        if weighting == "bm25":
+        if storage == "raw":
+            # raw layout: per-posting (tf, dl); weights computed at
+            # query time. Written as segment 0 of a segmented index —
+            # the same layout CompressedIndexStream appends deltas to.
+            w = (
+                tf.join(dl, "doc_id")
+                .join(
+                    F.broadcast(
+                        termdict.select("term", "term_id", "n_salts")
+                    ),
+                    "term",
+                )
+                .select("term_id", "doc_id", "tf", "dl", "n_salts")
+            )
+            payload = ("doc_id", "tf", "dl", "n_salts")
+            encode_fn, schema = (
+                _encode_bucket_raw_fn(block_size),
+                POSTINGS_RAW_SCHEMA,
+            )
+            target = os.path.join(cat.path("postings"), "seg=0")
+        elif weighting == "bm25":
             w = weights_from_tf(tf, dl, termdict, n_docs, avgdl, cfg)
+            payload = ("doc_id", "w")
+            encode_fn, schema = _encode_bucket_fn(block_size), POSTINGS_SCHEMA
+            target = cat.path("postings")
         else:
             from neural_cherche_spark.index.builder_weights import (
                 tfidf_weights_from_tf,
             )
 
             w = tfidf_weights_from_tf(tf, termdict)
+            payload = ("doc_id", "w")
+            encode_fn, schema = _encode_bucket_fn(block_size), POSTINGS_SCHEMA
+            target = cat.path("postings")
         salted = (
             w.withColumn(
                 # numpy-reproducible salt (codec.doc_salt): the query
@@ -454,15 +572,15 @@ def _finish_build(
                 "bucket",
                 F.pmod(F.xxhash64("term_id", "salt"), F.lit(n_buckets)).cast("int"),
             )
-            .select("bucket", "term_id", "salt", "doc_id", "w")
+            .select("bucket", "term_id", "salt", *payload)
         )
         (
             salted.repartition(n_buckets, "bucket")
             .groupBy("bucket")
-            .applyInPandas(_encode_bucket_fn(block_size), POSTINGS_SCHEMA)
+            .applyInPandas(encode_fn, schema)
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(cat.path("postings"))
+            .parquet(target)
         )
     walls["postings"] = time.perf_counter() - t0
     postings = spark.read.parquet(cat.path("postings"))
@@ -473,19 +591,20 @@ def _finish_build(
     # at 100 TB the metrics pass reads a few % of the index, not all of it
     t0 = time.perf_counter()
     if not cat.stage_done(manifest, "lineage", fingerprint):
-        (
-            postings.groupBy("bucket")
-            .agg(
-                F.countDistinct("term_id").alias("n_terms"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum("n_bytes").alias("bytes"),
-                F.max("enc_ms").alias("enc_ms"),
-                F.lit(fingerprint).alias("input_fingerprint"),
-            )
-            .write.mode("overwrite")
-            .parquet(cat.path("lineage"))
+        lineage_df = postings.groupBy("bucket").agg(
+            F.countDistinct("term_id").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum("n_bytes").alias("bytes"),
+            F.max("enc_ms").alias("enc_ms"),
+            F.lit(fingerprint).alias("input_fingerprint"),
         )
+        lineage_target = (
+            os.path.join(cat.path("lineage"), "seg=0")
+            if storage == "raw"
+            else cat.path("lineage")
+        )
+        lineage_df.write.mode("overwrite").parquet(lineage_target)
     walls["lineage"] = time.perf_counter() - t0
 
     # manifest totals come from the tiny per-bucket lineage table — no
@@ -501,7 +620,7 @@ def _finish_build(
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,
             "n_min": cfg.n_min, "n_max": cfg.n_max,
             "block_size": block_size, "salt_every": salt_every,
-            "weighting": weighting,
+            "weighting": weighting, "storage": storage,
         },
         input_fingerprint=fingerprint,
         n_docs=n_docs,
@@ -513,6 +632,11 @@ def _finish_build(
             s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
             for s in ("tf", "docmap", "termdict", "postings", "lineage")
         },
+        segments=(
+            [{"seg": 0, "n_postings": int(n_postings)}]
+            if storage == "raw"
+            else []
+        ),
     )
     cat.save_manifest(m)
     return BM25Index(spark, index_dir)
@@ -543,13 +667,20 @@ class BM25Index:
         return self.spark.read.parquet(self.cat.path("postings"))
 
     @property
+    def storage(self) -> str:
+        return self.manifest.cfg.get("storage", "weights")
+
+    @property
     def termdict(self) -> DataFrame:
         # every search joins its query grams against the termdict; keep
         # it executor-cached per index handle so repeated (serving)
         # calls skip the parquet re-read (NOTES r2 carry-over #2)
         if self._termdict is None:
             self._termdict = self.spark.read.parquet(
-                self.cat.path("termdict")
+                self.cat.path(
+                    getattr(self.manifest, "termdict_path", "termdict")
+                    or "termdict"
+                )
             ).cache()
         return self._termdict
 

@@ -205,6 +205,143 @@ def encode_partition_bulk(
     }
 
 
+def encode_partition_bulk_raw(
+    tid: np.ndarray,
+    salt: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    n_salts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict[str, list | np.ndarray]:
+    """RAW-storage twin of :func:`encode_partition_bulk`: blocks store
+    per-posting ``(tf, dl)`` varints instead of a precomputed float32
+    weight. The BM25 weight is then computed at QUERY time from the
+    CURRENT global statistics (idf, term_norm, avgdl) — which is what
+    makes incremental index refresh O(new batch): old blocks never
+    need re-encoding when collection statistics move (the reference's
+    ``add()`` achieves O(new batch) by freezing stale stats instead,
+    bm25.py:146-197 — raw storage gets the same cost with EXACT fresh
+    stats). tf/dl are small positive ints, so the varint streams
+    typically compress tighter than 4-byte floats.
+
+    Per-block metadata is (max_tf, min_tf, min_dl, max_dl): the
+    query side derives sound block-max/min score bounds from them via
+    the monotonicity of the BM25 tf-saturation in tf (↑) and dl (↓).
+    ``n_salts`` is a per-posting passthrough (constant within a run):
+    segments of an incrementally-grown index may have been salted
+    under different (monotonically growing) per-term salt counts, so
+    the query side needs the salt layout PER RUN, not per term.
+    """
+    n = doc_ids.size
+    if n == 0:
+        return {
+            "term_id": np.empty(0, dtype=np.int64),
+            "salt": np.empty(0, dtype=np.int64),
+            "n_salts": np.empty(0, dtype=np.int64),
+            "block_id": np.empty(0, dtype=np.int64),
+            "n": np.empty(0, dtype=np.int64),
+            "first_doc": np.empty(0, dtype=np.int64),
+            "last_doc": np.empty(0, dtype=np.int64),
+            "max_tf": np.empty(0, dtype=np.int64),
+            "min_tf": np.empty(0, dtype=np.int64),
+            "min_dl": np.empty(0, dtype=np.int64),
+            "max_dl": np.empty(0, dtype=np.int64),
+            "n_bytes": np.empty(0, dtype=np.int64),
+            "docs": [],
+            "tfs": [],
+            "dls": [],
+        }
+    tid = np.asarray(tid, dtype=np.int64)
+    salt = np.asarray(salt, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n_salts = np.asarray(n_salts, dtype=np.int64)
+
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (np.diff(tid) != 0) | (np.diff(salt) != 0)
+    run_id = np.cumsum(run_start) - 1
+    run_starts = np.flatnonzero(run_start)
+    pos_in_run = np.arange(n, dtype=np.int64) - run_starts[run_id]
+
+    block_start = run_start | (pos_in_run % block_size == 0)
+    block_starts = np.flatnonzero(block_start)
+    block_ends = np.append(block_starts[1:], n)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    gaps[block_starts] = (doc_ids[block_starts] + 1).astype(np.uint64)
+
+    d_buf, d_sz = varint_encode_with_sizes(gaps)
+    t_buf, t_sz = varint_encode_with_sizes(tfs.astype(np.uint64))
+    l_buf, l_sz = varint_encode_with_sizes(dls.astype(np.uint64))
+    d_off = np.zeros(n + 1, dtype=np.int64)
+    t_off = np.zeros(n + 1, dtype=np.int64)
+    l_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d_sz, out=d_off[1:])
+    np.cumsum(t_sz, out=t_off[1:])
+    np.cumsum(l_sz, out=l_off[1:])
+
+    return {
+        "term_id": tid[block_starts],
+        "salt": salt[block_starts],
+        "n_salts": n_salts[block_starts],
+        "block_id": (pos_in_run[block_starts] // block_size).astype(np.int64),
+        "n": block_ends - block_starts,
+        "first_doc": doc_ids[block_starts],
+        "last_doc": doc_ids[block_ends - 1],
+        "max_tf": np.maximum.reduceat(tfs, block_starts),
+        "min_tf": np.minimum.reduceat(tfs, block_starts),
+        "min_dl": np.minimum.reduceat(dls, block_starts),
+        "max_dl": np.maximum.reduceat(dls, block_starts),
+        "n_bytes": (d_off[block_ends] - d_off[block_starts])
+        + (t_off[block_ends] - t_off[block_starts])
+        + (l_off[block_ends] - l_off[block_starts]),
+        "docs": [
+            d_buf[d_off[s] : d_off[e]].tobytes()
+            for s, e in zip(block_starts, block_ends)
+        ],
+        "tfs": [
+            t_buf[t_off[s] : t_off[e]].tobytes()
+            for s, e in zip(block_starts, block_ends)
+        ],
+        "dls": [
+            l_buf[l_off[s] : l_off[e]].tobytes()
+            for s, e in zip(block_starts, block_ends)
+        ],
+    }
+
+
+def decode_block_raw(
+    docs: bytes, tfs: bytes, dls: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of one encode_partition_bulk_raw block →
+    (doc_ids int64, tf int64, dl int64)."""
+    gaps = varint_decode(docs).astype(np.int64)
+    if gaps.size:
+        gaps[0] -= 1
+    return (
+        np.cumsum(gaps),
+        varint_decode(tfs).astype(np.int64),
+        varint_decode(dls).astype(np.int64),
+    )
+
+
+def bm25_w1(
+    tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float,
+    epsilon: float = 0.0,
+) -> np.ndarray:
+    """Query-time BM25 tf-saturation for RAW blocks — the numpy twin of
+    the builder's weight expression. MUST stay the same evaluation tree
+    as index/builder_weights.py so raw-mode scores agree with
+    weights-mode/oracle scores to f64 rounding."""
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)) + epsilon
+
+
 def decode_block(docs: bytes, ws: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of one encode_blocks row → (doc_ids int64, weights f32)."""
     gaps = varint_decode(docs).astype(np.int64)

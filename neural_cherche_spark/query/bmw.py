@@ -63,16 +63,18 @@ _SCORE_SCHEMA = StructType(
 
 
 def _query_terms(index, queries: DataFrame) -> DataFrame:
-    """(query_id, term_id, qtf, df, idf, n_salts) for matched terms
-    only (frozen-vocabulary semantics: unmatched terms drop,
-    tfidf.py:134)."""
+    """(query_id, term_id, qtf, df, idf, term_norm, n_salts) for
+    matched terms only (frozen-vocabulary semantics: unmatched terms
+    drop, tfidf.py:134)."""
     cfg = index.manifest.cfg
     qt = query_term_counts(
         queries, n_min=int(cfg["n_min"]), n_max=int(cfg["n_max"])
     )
-    td = index.termdict.select("term", "term_id", "df", "idf", "n_salts")
+    td = index.termdict.select(
+        "term", "term_id", "df", "idf", "term_norm", "n_salts"
+    )
     return td.join(F.broadcast(qt), "term").select(
-        "query_id", "term_id", "qtf", "df", "idf", "n_salts"
+        "query_id", "term_id", "qtf", "df", "idf", "term_norm", "n_salts"
     )
 
 
@@ -93,7 +95,7 @@ def _matched_terms(index, queries: DataFrame) -> list:
     n_buckets = index.manifest.n_buckets
     rows = (
         _query_terms(index, queries)
-        .groupBy("term_id", "n_salts", "df", "idf")
+        .groupBy("term_id", "n_salts", "df", "idf", "term_norm")
         .agg(F.collect_list(F.struct("query_id", "qtf")).alias("qs"))
         .withColumn(
             "buckets",
@@ -184,7 +186,7 @@ def _empty_result(spark) -> DataFrame:
 _DOC_BITS = 41
 
 
-def _decode_score_fn(qmap_bc):
+def _decode_score_fn(qmap_bc, raw_cfg=None):
     """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
     inside the worker via a broadcast {term_id: (qids[], qtfs[])}
     dict, so a hot block shared by Q queries is shuffled and decoded
@@ -198,7 +200,11 @@ def _decode_score_fn(qmap_bc):
     tiny arrays."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from neural_cherche_spark.index.codec import decode_block
+        from neural_cherche_spark.index.codec import (
+            bm25_w1,
+            decode_block,
+            decode_block_raw,
+        )
 
         qmap = qmap_bc.value
         mask = (1 << _DOC_BITS) - 1
@@ -206,23 +212,38 @@ def _decode_score_fn(qmap_bc):
             if pdf.empty:
                 continue
             per_term: dict[int, tuple[list, list]] = {}
-            for tid, docs_bin, ws_bin in zip(
-                pdf["term_id"], pdf["docs"], pdf["ws"]
-            ):
-                hit = qmap.get(int(tid))
-                if hit is None:
-                    continue
-                d, w = decode_block(docs_bin, ws_bin)
-                buf = per_term.setdefault(int(tid), ([], []))
-                buf[0].append(d)
-                buf[1].append(w)
+            if raw_cfg is not None:
+                k1, b, eps, avgdl = raw_cfg
+                for tid, docs_bin, tfs_bin, dls_bin in zip(
+                    pdf["term_id"], pdf["docs"], pdf["tfs"], pdf["dls"]
+                ):
+                    hit = qmap.get(int(tid))
+                    if hit is None:
+                        continue
+                    d, tfv, dlv = decode_block_raw(docs_bin, tfs_bin, dls_bin)
+                    # query-time weight from CURRENT stats: w1 · idf/norm
+                    w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
+                    buf = per_term.setdefault(int(tid), ([], []))
+                    buf[0].append(d)
+                    buf[1].append(w)
+            else:
+                for tid, docs_bin, ws_bin in zip(
+                    pdf["term_id"], pdf["docs"], pdf["ws"]
+                ):
+                    hit = qmap.get(int(tid))
+                    if hit is None:
+                        continue
+                    d, w = decode_block(docs_bin, ws_bin)
+                    buf = per_term.setdefault(int(tid), ([], []))
+                    buf[0].append(d)
+                    buf[1].append(w)
             if not per_term:
                 continue
             key_parts, val_parts = [], []
             for tid, (dl, wl) in per_term.items():
                 d = np.concatenate(dl)
                 w = np.concatenate(wl).astype(np.float64)
-                qids, qtfs = qmap[tid]
+                qids, qtfs = qmap[tid][0], qmap[tid][1]
                 # K×n expansion in C: scores outer product, keys packed
                 scores = (qtfs[:, None] * w[None, :]).ravel()
                 keys = (
@@ -251,13 +272,32 @@ def search_distributed(
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
-    qmap = {
-        int(r["term_id"]): (
-            np.array([int(q["query_id"]) for q in r["qs"]], dtype=np.int64),
-            np.array([float(q["qtf"]) for q in r["qs"]], dtype=np.float64),
+    raw = index.manifest.cfg.get("storage", "weights") == "raw"
+    if raw:
+        cfgm = index.manifest.cfg
+        raw_cfg = (
+            float(cfgm["k1"]), float(cfgm["b"]),
+            float(cfgm["epsilon"]), float(index.manifest.avgdl),
         )
-        for r in rows
-    }
+        qmap = {
+            int(r["term_id"]): (
+                np.array([int(q["query_id"]) for q in r["qs"]], dtype=np.int64),
+                np.array([float(q["qtf"]) for q in r["qs"]], dtype=np.float64),
+                float(r["idf"]) / float(r["term_norm"]),
+            )
+            for r in rows
+        }
+        cols = ("term_id", "docs", "tfs", "dls")
+    else:
+        raw_cfg = None
+        qmap = {
+            int(r["term_id"]): (
+                np.array([int(q["query_id"]) for q in r["qs"]], dtype=np.int64),
+                np.array([float(q["qtf"]) for q in r["qs"]], dtype=np.float64),
+            )
+            for r in rows
+        }
+        cols = ("term_id", "docs", "ws")
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
     # coalesce (no shuffle) to ~slot count: fewer, bigger decode tasks
@@ -266,9 +306,9 @@ def search_distributed(
     # and blow up the downstream shuffle.
     partial = (
         _postings_for(index, rows)
-        .select("term_id", "docs", "ws")
+        .select(*cols)
         .coalesce(max(sc.defaultParallelism, 1))
-        .mapInPandas(_decode_score_fn(qmap_bc), _SCORE_SCHEMA)
+        .mapInPandas(_decode_score_fn(qmap_bc, raw_cfg), _SCORE_SCHEMA)
     )
     scored = (
         partial.groupBy("query_id", "doc_id")
@@ -355,7 +395,7 @@ def _run_suffix_bounds_signed(
     return pos_bound, neg_bound
 
 
-def _bmw_group_fn(k: int):
+def _bmw_group_fn(k: int, raw_cfg: tuple | None = None):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
 
     Pruning is sound under NEGATIVE weights (sign-split bounds):
@@ -376,7 +416,12 @@ def _bmw_group_fn(k: int):
     """
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from neural_cherche_spark.index.codec import decode_block, doc_salt
+        from neural_cherche_spark.index.codec import (
+            bm25_w1,
+            decode_block,
+            decode_block_raw,
+            doc_salt,
+        )
 
         qid = int(pdf["query_id"].iloc[0])
         grp = int(pdf["grp"].iloc[0])
@@ -393,7 +438,13 @@ def _bmw_group_fn(k: int):
         if ub_pos[order[0]] <= 0.0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
-        ws_col = pdf["ws"].to_numpy()
+        if raw_cfg is not None:
+            k1, b, eps, avgdl = raw_cfg
+            tfs_col = pdf["tfs"].to_numpy()
+            dls_col = pdf["dls"].to_numpy()
+            s_t = pdf["s_t"].to_numpy(dtype=np.float64)
+        else:
+            ws_col = pdf["ws"].to_numpy()
         # run key: salt < 2^20 (cap 1024), term_id < 2^40 → fits int64
         run_key = (
             pdf["term_id"].to_numpy(dtype=np.int64) << np.int64(20)
@@ -418,7 +469,15 @@ def _bmw_group_fn(k: int):
                     lo = np.searchsorted(doc_filter, first_doc[i])
                     if lo >= doc_filter.size or doc_filter[lo] > last_doc[i]:
                         continue
-                d, w = decode_block(docs_col[i], ws_col[i])
+                if raw_cfg is not None:
+                    d, tfv, dlv = decode_block_raw(
+                        docs_col[i], tfs_col[i], dls_col[i]
+                    )
+                    # query-time weight from CURRENT stats (raw blocks
+                    # are immutable under collection growth)
+                    w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[i]
+                else:
+                    d, w = decode_block(docs_col[i], ws_col[i])
                 if n_groups > 1:
                     # subgroup ownership: this group scores ONLY its own
                     # doc shard (blocks of low-salt terms are replicated
@@ -537,21 +596,96 @@ def search_bmw(
                 n_groups_by_q.get(qid, 1),
                 min(int(r["n_salts"]), subgroup_cap),
             )
-    qt = index.spark.createDataFrame(
-        [
-            (
-                int(r["term_id"]),
-                int(r["n_salts"]),
-                int(q["query_id"]),
-                float(q["qtf"]),
-                n_groups_by_q[int(q["query_id"])],
+    raw = index.manifest.cfg.get("storage", "weights") == "raw"
+    if raw:
+        # raw blocks: n_salts comes from the postings ROW (segments of
+        # a delta-grown index may use different — monotonically grown —
+        # per-term salt layouts); the termdict value used for
+        # n_groups_by_q above is their maximum. qt carries the
+        # query-time per-term scale s_t = idf/term_norm.
+        cfgm = index.manifest.cfg
+        raw_cfg = (
+            float(cfgm["k1"]), float(cfgm["b"]),
+            float(cfgm["epsilon"]), float(index.manifest.avgdl),
+        )
+        qt = index.spark.createDataFrame(
+            [
+                (
+                    int(r["term_id"]),
+                    int(q["query_id"]),
+                    float(q["qtf"]),
+                    n_groups_by_q[int(q["query_id"])],
+                    float(r["idf"]) / float(r["term_norm"]),
+                )
+                for r in rows
+                for q in r["qs"]
+            ],
+            "term_id long, query_id long, qtf double, n_groups int, s_t double",
+        )
+        k1, b, eps, avgdl = raw_cfg
+
+        def w1(tf_col, dl_col):
+            # SAME evaluation tree as codec.bm25_w1 (monotone in tf ↑,
+            # dl ↓); the 1e-9 relative margin absorbs any cross-runtime
+            # ulp noise so the bounds stay sound without bit-matching
+            return (
+                tf_col * (k1 + 1.0)
+                / (tf_col + k1 * (1.0 - b + b * dl_col / avgdl))
+                + eps
             )
-            for r in rows
-            for q in r["qs"]
-        ],
-        "term_id long, n_salts int, query_id long, qtf double, n_groups int",
-    )
-    joined = _postings_for(index, rows).join(F.broadcast(qt), "term_id")
+
+        w1_hi = (
+            w1(F.col("max_tf").cast("double"), F.col("min_dl").cast("double"))
+            * (1.0 + 1e-9) + 1e-12
+        )
+        w1_lo = F.greatest(
+            F.lit(0.0),
+            w1(F.col("min_tf").cast("double"), F.col("max_dl").cast("double"))
+            * (1.0 - 1e-9) - 1e-12,
+        )
+        joined = (
+            _postings_for(index, rows)
+            .join(F.broadcast(qt), "term_id")
+            .withColumn(
+                "max_w",
+                F.when(F.col("s_t") >= 0, F.col("s_t") * w1_hi).otherwise(
+                    F.col("s_t") * w1_lo
+                ),
+            )
+            .withColumn(
+                "min_w",
+                F.when(F.col("s_t") >= 0, F.col("s_t") * w1_lo).otherwise(
+                    F.col("s_t") * w1_hi
+                ),
+            )
+        )
+        group_cols = [
+            "query_id", "grp", "n_groups", "term_id", "salt",
+            "qtf", "s_t", "max_w", "min_w", "first_doc", "last_doc",
+            "docs", "tfs", "dls",
+        ]
+    else:
+        raw_cfg = None
+        qt = index.spark.createDataFrame(
+            [
+                (
+                    int(r["term_id"]),
+                    int(r["n_salts"]),
+                    int(q["query_id"]),
+                    float(q["qtf"]),
+                    n_groups_by_q[int(q["query_id"])],
+                )
+                for r in rows
+                for q in r["qs"]
+            ],
+            "term_id long, n_salts int, query_id long, qtf double, n_groups int",
+        )
+        joined = _postings_for(index, rows).join(F.broadcast(qt), "term_id")
+        group_cols = [
+            "query_id", "grp", "n_groups", "term_id", "salt",
+            "qtf", "max_w", "min_w", "first_doc", "last_doc",
+            "docs", "ws",
+        ]
     expanded = joined.withColumn(
         "grp",
         F.explode(
@@ -564,13 +698,9 @@ def search_bmw(
         ),
     )
     scored = (
-        expanded.select(
-            "query_id", "grp", "n_groups", "term_id", "salt",
-            "qtf", "max_w", "min_w", "first_doc", "last_doc",
-            "docs", "ws",
-        )
+        expanded.select(*group_cols)
         .groupBy("query_id", "grp")
-        .applyInPandas(_bmw_group_fn(k), _SCORE_SCHEMA)
+        .applyInPandas(_bmw_group_fn(k, raw_cfg), _SCORE_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

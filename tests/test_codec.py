@@ -113,3 +113,55 @@ def test_compression_is_compact():
     rows = encode_blocks(doc_ids, ws, 128)
     total_doc_bytes = sum(len(r[5]) for r in rows)
     assert total_doc_bytes < 1.1 * doc_ids.size
+
+
+def test_raw_bulk_roundtrip_random_runs():
+    """encode_partition_bulk_raw ↔ decode_block_raw roundtrip across
+    random multi-run partitions (the raw-storage codec)."""
+    import numpy as np
+
+    from neural_cherche_spark.index.codec import (
+        decode_block_raw,
+        encode_partition_bulk_raw,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        runs = []
+        for t in range(rng.integers(1, 6)):
+            for s in range(rng.integers(1, 3)):
+                n = int(rng.integers(1, 400))
+                docs = np.sort(
+                    rng.choice(100_000, size=n, replace=False)
+                ).astype(np.int64)
+                runs.append(
+                    (
+                        np.full(n, t, dtype=np.int64),
+                        np.full(n, s, dtype=np.int64),
+                        docs,
+                        rng.integers(1, 50, n).astype(np.int64),
+                        rng.integers(1, 5000, n).astype(np.int64),
+                        np.full(n, 4, dtype=np.int64),
+                    )
+                )
+        tid, salt, d, tf, dl, ns = (np.concatenate(x) for x in zip(*runs))
+        enc = encode_partition_bulk_raw(tid, salt, d, tf, dl, ns, block_size=64)
+        # every block decodes back to its slice; metadata is exact
+        got_d, got_tf, got_dl = [], [], []
+        for i in range(len(enc["n"])):
+            bd, btf, bdl = decode_block_raw(
+                enc["docs"][i], enc["tfs"][i], enc["dls"][i]
+            )
+            assert bd.size == enc["n"][i]
+            assert bd[0] == enc["first_doc"][i] and bd[-1] == enc["last_doc"][i]
+            assert btf.max() == enc["max_tf"][i] and btf.min() == enc["min_tf"][i]
+            assert bdl.max() == enc["max_dl"][i] and bdl.min() == enc["min_dl"][i]
+            assert enc["n_salts"][i] == 4
+            got_d.append(bd)
+            got_tf.append(btf)
+            got_dl.append(bdl)
+        # concatenation over blocks (sorted by term,salt) == input sorted
+        order = np.lexsort((d, salt, tid))
+        np.testing.assert_array_equal(np.concatenate(got_d), d[order])
+        np.testing.assert_array_equal(np.concatenate(got_tf), tf[order])
+        np.testing.assert_array_equal(np.concatenate(got_dl), dl[order])

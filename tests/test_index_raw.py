@@ -1,0 +1,91 @@
+"""Raw-storage index (per-posting tf+dl, query-time weights): every
+query mode must be rank-identical to the exact double-precision
+DataFrame path — and score-identical to ~f64 rounding, since raw mode
+never stores f32 weights."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.data import synth_queries, synth_webtext
+from neural_cherche_spark.index import bm25_weights
+from neural_cherche_spark.index.builder import build_index
+from neural_cherche_spark.query import retrieve_exact
+from tests.conftest import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = synth_webtext(spark, 400, seed=5).select("url", "text")
+    rows = sorted(docs.collect(), key=lambda r: r["url"])
+    pdocs = [(i, r["url"], r["text"]) for i, r in enumerate(rows)]
+    return spark.createDataFrame(pdocs, "doc_id long, url string, text string")
+
+
+@pytest.fixture(scope="module")
+def raw_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "raw")
+    return build_index(
+        spark, corpus, d, id_col="doc_id", n_buckets=8, salt_every=50,
+        storage="raw",
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return synth_queries(spark, 12, seed=9)
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, corpus, queries):
+    w = bm25_weights(corpus, id_col="doc_id")
+    rows = retrieve_exact(w, queries, k=10).collect()
+    out: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+def _collect_topk(df):
+    out: dict[int, list] = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["distributed", "bmw", "auto"])
+def test_raw_search_matches_exact_f64(raw_index, queries, exact_topk, mode):
+    got = _collect_topk(raw_index.search(queries, k=10, mode=mode))
+    assert set(got) == set(exact_topk)
+    for qid in exact_topk:
+        # both sides are f64 end-to-end; only agg-order ulps remain
+        assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
+
+
+def test_raw_layout_is_segmented_and_salted(raw_index):
+    p = raw_index.postings
+    assert "seg" in p.columns and "n_salts" in p.columns
+    assert p.select("seg").distinct().count() == 1
+    assert p.filter(F.col("salt") > 0).count() > 0, "head terms unsalted"
+    assert raw_index.storage == "raw"
+    assert raw_index.manifest.segments == [
+        {"seg": 0, "n_postings": raw_index.manifest.n_postings}
+    ]
+
+
+def test_raw_subgroup_cap_stays_exact(raw_index, queries, exact_topk):
+    from neural_cherche_spark.query.bmw import search_bmw
+
+    got = _collect_topk(search_bmw(raw_index, queries, k=10, subgroup_cap=2))
+    assert set(got) == set(exact_topk)
+    for qid in exact_topk:
+        assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
+
+
+def test_raw_rejects_tfidf(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="bm25"):
+        build_index(
+            spark, corpus, str(tmp_path / "x"), id_col="doc_id",
+            weighting="tfidf", storage="raw",
+        )
