@@ -257,6 +257,71 @@ def _q_bm25_topk_compressed(mode: str):
     return q
 
 
+def _rank_on_grid(res: DataFrame, dp: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    res = res.select(
+        "query_id", "doc_id", F.round("score", dp).alias("score")
+    ).filter(F.col("score") > 0)
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return res.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def _q_bm25_topk_raw_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the RAW storage mode (per-posting tf+dl,
+    query-time f64 weights): fresh raw build → block-max search →
+    same oracle as the other compressed gates."""
+    import hashlib
+
+    from neural_cherche_spark.index.builder import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = build_index(
+        spark,
+        _docs(spark, sf_dir),
+        f"/tmp/ncs_entry_raw_{tag}",
+        id_col="doc_id",
+        n_buckets=8,
+        salt_every=50,
+        storage="raw",
+    )
+    return _rank_on_grid(
+        idx.search(_queries_df(spark), k=TOP_K, mode="bmw"), _COMPRESSED_DP
+    )
+
+
+def _q_bm25_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the segmented DELTA refresh: two stream
+    batches, a materialize after each (second one appends seg=1 only,
+    seg=0 bytes untouched), block-max search over the merged segments —
+    must match the full-corpus exact oracle (global stats stay exact
+    across refreshes; no stale-idf quirk)."""
+    import hashlib
+
+    from neural_cherche_spark.streaming import CompressedIndexStream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = _docs(spark, sf_dir)
+    stream = CompressedIndexStream(
+        spark, f"/tmp/ncs_entry_delta_state_{tag}"
+    )
+    idx_dir = f"/tmp/ncs_entry_delta_idx_{tag}"
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0)
+    stream.materialize(idx_dir, n_buckets=8, salt_every=50, storage="raw")
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
+    idx = stream.materialize(
+        idx_dir, n_buckets=8, salt_every=50, storage="raw"
+    )
+    assert len(idx.manifest.segments) == 2, "delta gate must span 2 segments"
+    return _rank_on_grid(
+        idx.search(_queries_df(spark), k=TOP_K, mode="bmw"), _COMPRESSED_DP
+    )
+
+
 def _q_tfidf_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRECTNESS gate for the tfidf-weighted compressed index: the
     block-max path must match the exact TfIdf oracle on the 4-dp
@@ -718,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_weights": _q_bm25_weights,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
+        "bm25_topk_raw_bmw": _q_bm25_topk_raw_bmw,
+        "bm25_topk_delta": _q_bm25_topk_delta,
         "bm25_topk_distributed": _q_bm25_topk_compressed("distributed"),
         "tfidf_topk": _q_tfidf_topk,
         "tfidf_topk_bmw": _q_tfidf_topk_bmw,
@@ -813,7 +880,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
         """
-            for name in ("bm25_topk_bmw", "bm25_topk_distributed")
+            for name in (
+                "bm25_topk_bmw",
+                "bm25_topk_distributed",
+                "bm25_topk_raw_bmw",
+                "bm25_topk_delta",
+            )
         },
         # tfidf: exact DataFrame path at 6 dp; compressed block-max
         # path at 4 dp (float32 stored weights)

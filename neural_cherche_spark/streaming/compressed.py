@@ -78,7 +78,13 @@ class CompressedIndexStream:
         self, docs: DataFrame, epoch_id: int | None = None
     ) -> "CompressedIndexStream":
         """Tokenize one batch and append its tf + doc registry.
-        Batch-keyed overwrite writes + epoch ledger = replay-safe."""
+        Batch-keyed overwrite writes + epoch ledger = replay-safe.
+
+        The stored tf carries the per-doc length ``dl`` (batch-local —
+        a doc's length never changes once added) and the batch ledger
+        records (n_docs, sum_dl): collection stats are then ADDITIVE
+        across batches, so a delta refresh derives the exact global
+        avgdl without any doc-keyed join or extra corpus pass."""
         meta = self._meta()
         if epoch_id is not None and str(epoch_id) in meta.get(
             "applied_epochs", {}
@@ -95,16 +101,38 @@ class CompressedIndexStream:
             ).alias("url"),
             F.col(self.text_col).alias("text"),
         )
-        term_frequencies(
+        from pyspark import StorageLevel
+
+        from neural_cherche_spark.index.build import doc_lengths
+
+        # persist so tokenize (the expensive pass) runs ONCE for the
+        # three derived writes; MEMORY_AND_DISK spills, batch-bounded
+        tf_b = term_frequencies(
             keyed, "text", "doc_id", self.cfg.n_min, self.cfg.n_max
-        ).write.mode("overwrite").parquet(self._p(f"tf/batch={batch_id}"))
-        keyed.select("doc_id", "url").write.mode("overwrite").parquet(
-            self._p(f"docs/batch={batch_id}")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        dl_b = doc_lengths(tf_b)
+        tf_b.join(dl_b, "doc_id").write.mode("overwrite").parquet(
+            self._p(f"tf/batch={batch_id}")
         )
+        (
+            keyed.select("doc_id", "url")
+            .join(dl_b, "doc_id", "left")
+            .na.fill({"dl": 0})
+            .write.mode("overwrite")
+            .parquet(self._p(f"docs/batch={batch_id}"))
+        )
+        srow = dl_b.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        tf_b.unpersist()
 
         applied = meta.setdefault("applied_epochs", {})
         if epoch_id is not None:
             applied[str(epoch_id)] = batch_id
+        meta.setdefault("batches", {})[str(batch_id)] = {
+            "n_docs": int(srow["n"] or 0),
+            "sum_dl": int(srow["s"] or 0),
+        }
         meta["n_batches"] = batch_id + 1
         self._save_meta(meta)
         return self
@@ -117,11 +145,33 @@ class CompressedIndexStream:
         salt_every: int = 50_000,
         resume: bool = True,
         weighting: str = "bm25",
+        storage: str = "weights",
     ):
         """Build (or refresh) the compressed index from the accumulated
-        state. Identical artifact to ``build_index`` over the union of
-        all batches — globally recomputed idf/avgdl/norms, same salted
-        posting layout, same manifest stages/resume semantics."""
+        state.
+
+        ``storage="weights"`` — full rebuild producing an artifact
+        identical to ``build_index`` over the union of all batches
+        (globally recomputed idf/avgdl/norms, float32 stored weights).
+
+        ``storage="raw"`` — DELTA refresh: only batches not yet covered
+        by an index segment are encoded (appended as a new
+        ``postings/seg=K``); previously-written segments are untouched
+        bytes. Statistics stay EXACT — avgdl/n_docs come from the
+        additive batch ledger, and per-term (idf, term_norm) are
+        recomputed over the accumulated tf (one map-side-combined agg
+        pass, no shuffle of postings, no re-encode, no index rewrite) —
+        because raw blocks defer weighting to query time. Search
+        results equal a fresh raw build over the union corpus. This is
+        the scalable analogue of the reference's O(new batch) ``add()``
+        (bm25.py:146-197), without its stale-statistics quirk.
+        """
+        if storage == "raw":
+            if weighting != "bm25":
+                raise ValueError("storage='raw' supports only bm25 weighting")
+            return self._materialize_raw_delta(
+                index_dir, n_buckets, block_size, salt_every, resume
+            )
         from neural_cherche_spark.catalog import IndexCatalog
         from neural_cherche_spark.index.build import doc_lengths
         from neural_cherche_spark.index.builder import _finish_build
@@ -206,6 +256,304 @@ class CompressedIndexStream:
             spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
             salt_every, manifest, walls, index_dir, weighting,
         )
+
+
+    def _materialize_raw_delta(
+        self,
+        index_dir: str,
+        n_buckets: int | None,
+        block_size: int,
+        salt_every: int,
+        resume: bool,
+    ):
+        """O(new batch) refresh of a segmented raw-storage index; see
+        :meth:`materialize`. Crash-safe: all segment writes are
+        overwrite-idempotent for the same batch set, the new termdict
+        snapshot goes to a fresh revision dir, and the manifest save is
+        the atomic commit point."""
+        import shutil
+        import time
+
+        from neural_cherche_spark.catalog import IndexCatalog, Manifest
+        from neural_cherche_spark.index.builder import (
+            MAX_DOC_ID,
+            POSTINGS_RAW_SCHEMA,
+            BM25Index,
+            _encode_bucket_raw_fn,
+            _zip_with_index,
+        )
+
+        spark, cfg = self.spark, self.cfg
+        meta = self._meta()
+        n_batches = meta["n_batches"]
+        if n_batches == 0:
+            raise RuntimeError("no batches added yet")
+        if n_buckets is None:
+            n_buckets = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        cat = IndexCatalog(index_dir)
+        cfg_dict = {
+            "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,
+            "n_min": cfg.n_min, "n_max": cfg.n_max,
+            "block_size": block_size, "salt_every": salt_every,
+            "weighting": "bm25", "storage": "raw",
+        }
+        manifest = cat.load_manifest() if resume else None
+        prev_ok = (
+            manifest is not None
+            and manifest.cfg == cfg_dict
+            and manifest.n_buckets == n_buckets
+            and manifest.segments
+        )
+        if prev_ok:
+            done = {
+                b for s in manifest.segments for b in s.get("batches", [])
+            }
+        else:
+            done = set()
+            # stale/incompatible index state: clear before full re-encode
+            for t in ("postings", "lineage", "docmap"):
+                shutil.rmtree(cat.path(t), ignore_errors=True)
+            for d in list(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
+                if d.startswith("termdict"):
+                    shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+        new_batches = [b for b in range(n_batches) if b not in done]
+        if prev_ok and not new_batches:
+            return BM25Index(spark, index_dir)
+
+        walls: dict[str, float] = {}
+        t0 = time.perf_counter()
+        # id validation over the (narrow) doc registry — one pass
+        drow = (
+            spark.read.parquet(self._p("docs"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .collect()[0]
+        )
+        if drow["n"]:
+            if drow["lo"] < 0 or drow["hi"] > MAX_DOC_ID:
+                raise ValueError(
+                    f"doc ids must be in [0, 2^41): got range "
+                    f"[{drow['lo']}, {drow['hi']}] across accumulated batches"
+                )
+            if drow["nd"] != drow["n"]:
+                raise ValueError(
+                    f"duplicate doc_ids across batches: {drow['n']} rows, "
+                    f"{drow['nd']} distinct — each batch must carry new ids"
+                )
+
+        # exact global stats, additively (batch ledger): no corpus pass
+        ledger = meta.get("batches", {})
+        if len(ledger) != n_batches:
+            raise ValueError(
+                "state predates the dl-carrying batch format — rebuild the "
+                "stream state or use storage='weights'"
+            )
+        n_docs = sum(v["n_docs"] for v in ledger.values())
+        sum_dl = sum(v["sum_dl"] for v in ledger.values())
+        avgdl = sum_dl / n_docs if n_docs else 0.0
+        walls["validate"] = time.perf_counter() - t0
+
+        # ---- termdict: per-term stats over the accumulated tf --------------
+        # the one O(corpus) pass a refresh keeps: idf and term_norm are
+        # global statistics and avgdl moved. It is a map-side-combined
+        # agg over the already-tokenized tf (n_terms-sized shuffle) —
+        # postings are never read, re-shuffled, or re-encoded.
+        t0 = time.perf_counter()
+        tf_acc = spark.read.parquet(self._p("tf"))
+        w1 = tf_acc.withColumn(
+            "w1",
+            F.col("tf")
+            * (cfg.k1 + 1.0)
+            / (
+                F.col("tf")
+                + cfg.k1
+                * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+            )
+            + F.lit(cfg.epsilon),
+        )
+        ts = (
+            w1.groupBy("term")
+            .agg(
+                F.sum("tf").alias("tf_total"),
+                F.count(F.lit(1)).alias("df"),
+                F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("tf_total") + 0.5)
+                    / (F.col("tf_total") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "term_norm",
+                F.when(F.col("idf") == 0, F.lit(1.0)).otherwise(
+                    F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))
+                ),
+            )
+            .withColumn(
+                "n_salts",
+                F.least(
+                    F.lit(1024),
+                    F.pow(
+                        F.lit(2.0),
+                        F.ceil(
+                            F.log2(
+                                F.greatest(
+                                    F.lit(1.0),
+                                    F.ceil(F.col("df") / F.lit(salt_every)),
+                                )
+                            )
+                        ),
+                    ).cast("int"),
+                ),
+            )
+            .drop("sw1sq")
+        )
+        # STABLE term ids: existing terms keep theirs (old segments
+        # reference them on disk); new terms extend the id space
+        if prev_ok:
+            old_ids = spark.read.parquet(
+                cat.path(manifest.termdict_path)
+            ).select("term", "term_id")
+            joined = ts.join(old_ids, "term", "left")
+            known = joined.filter(F.col("term_id").isNotNull())
+            fresh = joined.filter(F.col("term_id").isNull()).drop("term_id")
+            new_ids = _zip_with_index(
+                fresh.select("term"), "term", "__nid"
+            )
+            fresh_ids = fresh.join(new_ids, "term").withColumn(
+                "term_id", F.col("__nid") + F.lit(int(manifest.n_terms))
+            ).drop("__nid")
+            termdict = known.unionByName(fresh_ids)
+            rev = int(manifest.termdict_path.split("_r")[-1]) + 1 if (
+                "_r" in manifest.termdict_path
+            ) else 1
+        else:
+            termdict = _zip_with_index(ts, "term", "term_id")
+            rev = 0
+        termdict_path = "termdict" if rev == 0 else f"termdict_r{rev}"
+        termdict.write.mode("overwrite").parquet(cat.path(termdict_path))
+        termdict = spark.read.parquet(cat.path(termdict_path))
+        n_terms = termdict.count()
+        walls["termdict"] = time.perf_counter() - t0
+
+        # ---- new segment: encode ONLY the new batches ----------------------
+        t0 = time.perf_counter()
+        seg_id = (
+            max(s["seg"] for s in manifest.segments) + 1 if prev_ok else 0
+        )
+        tf_new = spark.read.parquet(
+            *[self._p(f"tf/batch={b}") for b in new_batches]
+        )
+        w = (
+            tf_new.join(
+                F.broadcast(
+                    termdict.select("term", "term_id", "n_salts")
+                ),
+                "term",
+            )
+            .select("term_id", "doc_id", "tf", "dl", "n_salts")
+        )
+        salted = (
+            w.withColumn(
+                "salt",
+                F.when(
+                    F.col("n_salts") > 1,
+                    F.pmod(
+                        F.col("doc_id")
+                        + F.shiftright("doc_id", 7)
+                        + F.shiftright("doc_id", 15),
+                        F.col("n_salts"),
+                    ).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.xxhash64("term_id", "salt"), F.lit(n_buckets)
+                ).cast("int"),
+            )
+            .select(
+                "bucket", "term_id", "salt", "doc_id", "tf", "dl", "n_salts"
+            )
+        )
+        (
+            salted.repartition(n_buckets, "bucket")
+            .groupBy("bucket")
+            .applyInPandas(_encode_bucket_raw_fn(block_size), POSTINGS_RAW_SCHEMA)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(cat.path("postings"), f"seg={seg_id}"))
+        )
+        walls["postings"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        seg_postings = spark.read.parquet(
+            os.path.join(cat.path("postings"), f"seg={seg_id}")
+        )
+        (
+            seg_postings.groupBy("bucket")
+            .agg(
+                F.countDistinct("term_id").alias("n_terms"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum("n_bytes").alias("bytes"),
+                F.max("enc_ms").alias("enc_ms"),
+                F.lit(f"batches={new_batches}").alias("input_fingerprint"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(cat.path("lineage"), f"seg={seg_id}"))
+        )
+        (
+            spark.read.parquet(
+                *[self._p(f"docs/batch={b}") for b in new_batches]
+            )
+            .select("doc_id", "url", "dl")
+            .write.mode("overwrite")
+            .parquet(os.path.join(cat.path("docmap"), f"seg={seg_id}"))
+        )
+        seg_n_postings = int(
+            spark.read.parquet(
+                os.path.join(cat.path("lineage"), f"seg={seg_id}")
+            )
+            .agg(F.sum("n_postings"))
+            .collect()[0][0]
+            or 0
+        )
+        walls["lineage"] = time.perf_counter() - t0
+
+        segments = (list(manifest.segments) if prev_ok else []) + [
+            {
+                "seg": seg_id,
+                "batches": new_batches,
+                "n_postings": seg_n_postings,
+            }
+        ]
+        m = Manifest(
+            cfg=cfg_dict,
+            input_fingerprint=f"batches:{n_batches}",
+            n_docs=n_docs,
+            avgdl=avgdl,
+            n_terms=int(n_terms),
+            n_postings=sum(s["n_postings"] for s in segments),
+            n_buckets=n_buckets,
+            stages={
+                s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
+                for s in ("validate", "termdict", "postings", "lineage")
+            },
+            segments=segments,
+            termdict_path=termdict_path,
+        )
+        cat.save_manifest(m)
+        return BM25Index(spark, index_dir)
 
 
 def stream_build_compressed(

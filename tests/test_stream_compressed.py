@@ -93,3 +93,89 @@ def test_stream_wire_accumulates_batches(spark, corpus, tmp_path):
         str(tmp_path / "idx"), n_buckets=4
     )
     assert idx.manifest.n_docs == 60
+
+
+def _topk_lists(index, queries, mode):
+    out: dict[int, list] = {}
+    rows = index.search(queries, k=10, mode=mode).collect()
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+def test_delta_materialize_appends_segments_and_matches_fresh_raw(
+    spark, corpus, tmp_path
+):
+    """The raw-storage delta path: a refresh must encode ONLY the new
+    batches (old segment bytes untouched) yet return search results
+    equal to a fresh raw build over the union corpus — exact global
+    statistics, no stale-idf quirk (round-2 VERDICT next-steps #1)."""
+    import os
+
+    from tests.conftest import assert_rank_identical
+
+    b1 = corpus.filter(F.col("doc_id") < 120)
+    b2 = corpus.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 220))
+    b3 = corpus.filter(F.col("doc_id") >= 220)
+    d = str(tmp_path / "idx")
+
+    stream = CompressedIndexStream(spark, str(tmp_path / "state"))
+    stream.add_batch(b1, epoch_id=0)
+    idx = stream.materialize(d, n_buckets=8, salt_every=50, storage="raw")
+    assert [s["seg"] for s in idx.manifest.segments] == [0]
+    seg0 = os.path.join(d, "postings", "seg=0", "_SUCCESS")
+    t0 = os.path.getmtime(seg0)
+
+    stream.add_batch(b2, epoch_id=1).add_batch(b3, epoch_id=2)
+    idx = stream.materialize(d, n_buckets=8, salt_every=50, storage="raw")
+    # old segment is untouched bytes; new batches landed in seg 1
+    assert os.path.getmtime(seg0) == t0
+    assert [s["seg"] for s in idx.manifest.segments] == [0, 1]
+    assert idx.manifest.segments[1]["batches"] == [1, 2]
+    assert idx.manifest.n_docs == 300
+
+    fresh = build_index(
+        spark, corpus, str(tmp_path / "fresh"),
+        id_col="doc_id", n_buckets=8, salt_every=50, storage="raw",
+    )
+    assert idx.manifest.n_postings == fresh.manifest.n_postings
+    assert abs(idx.manifest.avgdl - fresh.manifest.avgdl) < 1e-9
+
+    queries = synth_queries(spark, 10, seed=21)
+    for mode in ("bmw", "distributed"):
+        got = _topk_lists(idx, queries, mode)
+        want = _topk_lists(fresh, queries, mode)
+        assert set(got) == set(want)
+        for qid in want:
+            assert_rank_identical(got[qid], want[qid], rtol=1e-9)
+
+    # no new batches → refresh is a no-op (both segments untouched)
+    seg1 = os.path.join(d, "postings", "seg=1", "_SUCCESS")
+    t1 = os.path.getmtime(seg1)
+    idx = stream.materialize(d, n_buckets=8, salt_every=50, storage="raw")
+    assert os.path.getmtime(seg1) == t1
+    assert len(idx.manifest.segments) == 2
+
+
+def test_delta_termdict_ids_stay_stable(spark, corpus, tmp_path):
+    """Old segments reference term_ids on disk — a refresh must never
+    renumber an existing term, and new terms extend the id space."""
+    stream = CompressedIndexStream(spark, str(tmp_path / "state"))
+    stream.add_batch(corpus.filter(F.col("doc_id") < 150), epoch_id=0)
+    d = str(tmp_path / "idx")
+    idx1 = stream.materialize(d, n_buckets=4, storage="raw")
+    ids1 = {
+        r["term"]: r["term_id"] for r in idx1.termdict.collect()
+    }
+    stream.add_batch(corpus.filter(F.col("doc_id") >= 150), epoch_id=1)
+    idx2 = stream.materialize(d, n_buckets=4, storage="raw")
+    ids2 = {
+        r["term"]: r["term_id"] for r in idx2.termdict.collect()
+    }
+    assert all(ids2[t] == i for t, i in ids1.items())
+    new_ids = [i for t, i in ids2.items() if t not in ids1]
+    if new_ids:
+        assert min(new_ids) >= len(ids1)
+    assert len(set(ids2.values())) == len(ids2)
+    idx1.close()
+    idx2.close()
