@@ -661,6 +661,7 @@ class BM25Index:
             int(getattr(self.manifest, "version", 1)) >= SALT_LAYOUT_VERSION
         )
         self._termdict: DataFrame | None = None
+        self._serving: dict | None = None
 
     @property
     def postings(self) -> DataFrame:
@@ -697,10 +698,68 @@ class BM25Index:
 
         return search_index(self, queries, k=k, mode=mode)
 
+    def prepare_serving(self) -> "BM25Index":
+        """Collect the termdict (with precomputed per-term bucket sets)
+        into a driver-side map: subsequent :meth:`search_serving` calls
+        build their match rows in pure Python — zero Spark jobs before
+        the postings scan itself. Opt-in: the map holds the full
+        vocabulary on the driver (~100 B/term — fine up to ~10^7 terms,
+        the usual serving-node trade)."""
+        n_buckets = self.manifest.n_buckets
+        rows = (
+            self.termdict.select(
+                "term", "term_id", "df", "idf", "term_norm", "n_salts"
+            )
+            .withColumn(
+                "buckets",
+                F.expr(
+                    "array_distinct(transform(sequence(0, n_salts - 1), "
+                    f"s -> cast(pmod(xxhash64(term_id, cast(s as int)), {n_buckets}) as int)))"
+                ),
+            )
+            .collect()
+        )
+        self._serving = {
+            r["term"]: {
+                "term_id": int(r["term_id"]),
+                "df": int(r["df"]),
+                "idf": float(r["idf"]),
+                "term_norm": float(r["term_norm"]),
+                "n_salts": int(r["n_salts"]),
+                "buckets": [int(b) for b in r["buckets"]],
+            }
+            for r in rows
+        }
+        return self
+
+    def search_serving(
+        self, queries: list[str], k: int = 10, mode: str = "bmw"
+    ) -> DataFrame:
+        """Search from plain query strings via the driver-side serving
+        map (see :meth:`prepare_serving`): exactly one Spark job per
+        call — the pruned postings scan/score itself."""
+        from neural_cherche_spark.query.bmw import (
+            search_auto,
+            search_bmw,
+            search_distributed,
+            serving_match_rows,
+        )
+
+        rows = serving_match_rows(self, queries)
+        if mode == "bmw":
+            return search_bmw(self, None, k, _rows=rows)
+        if mode == "distributed":
+            return search_distributed(self, None, k, _rows=rows)
+        if mode == "auto":
+            return search_auto(self, None, k, _rows=rows)
+        raise ValueError(f"unknown mode {mode!r}")
+
     def close(self) -> None:
-        """Release executor-cached state (the termdict cache). Sessions
-        that open many indexes must close handles they are done with or
-        cached tables accumulate in executor storage."""
+        """Release executor-cached state (the termdict cache) and the
+        driver-side serving map. Sessions that open many indexes must
+        close handles they are done with or cached tables accumulate
+        in executor storage."""
+        self._serving = None
         if self._termdict is not None:
             self._termdict.unpersist()
             self._termdict = None

@@ -108,6 +108,13 @@ def _matched_terms(index, queries: DataFrame) -> list:
     )
     if index.manifest.cfg.get("weighting", "bm25") != "tfidf":
         return rows
+    return _tfidf_transform_rows(rows)
+
+
+def _tfidf_transform_rows(rows: list) -> list:
+    """Fold the tfidf query-side weighting (idf-weighted L2-normalized
+    counts) into the qs entries so downstream scorers stay
+    weighting-agnostic."""
     qnorm_sq: dict[int, float] = {}
     for r in rows:
         for q in r["qs"]:
@@ -134,6 +141,37 @@ def _matched_terms(index, queries: DataFrame) -> list:
             }
         )
     return out
+
+
+def serving_match_rows(index, queries: list[str]) -> list:
+    """ZERO-job twin of :func:`_matched_terms` for a handle that called
+    ``BM25Index.prepare_serving()``: queries are tokenized driver-side
+    with the Python tokenizer twin (parity-tested against the Catalyst
+    expression) and matched against the collected termdict map — no
+    Spark job runs until the actual postings scan. This is the
+    high-QPS serving path (NOTES r2 carry-over #2)."""
+    from neural_cherche_spark.text.ngrams import char_wb_ngrams
+
+    smap = index._serving
+    if smap is None:
+        raise RuntimeError("call prepare_serving() first")
+    cfg = index.manifest.cfg
+    n_min, n_max = int(cfg["n_min"]), int(cfg["n_max"])
+    per_term: dict[str, dict] = {}
+    for qid, qtext in enumerate(queries):
+        counts: dict[str, int] = {}
+        for t in char_wb_ngrams(qtext, n_min, n_max):
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in counts.items():
+            info = smap.get(term)
+            if info is None:  # frozen vocabulary: unseen terms drop
+                continue
+            e = per_term.setdefault(term, dict(info, qs=[]))
+            e["qs"].append({"query_id": qid, "qtf": float(qtf)})
+    rows = list(per_term.values())
+    if cfg.get("weighting", "bm25") == "tfidf":
+        rows = _tfidf_transform_rows(rows)
+    return rows
 
 
 def _postings_for(index, rows: list) -> DataFrame:
@@ -715,6 +753,7 @@ def search_auto(
     queries: DataFrame,
     k: int = 10,
     heavy_postings_threshold: int = 500_000,
+    _rows: list | None = None,
 ) -> DataFrame:
     """Route each query to the mode that fits its cost profile.
 
@@ -730,7 +769,7 @@ def search_auto(
     # pre-jobs (round-1 VERDICT "what's wrong" #4).
     if not getattr(index, "salt_layout_ok", True):
         return search_distributed(index, queries, k)
-    rows = _matched_terms(index, queries)
+    rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
     vol: dict[int, int] = {}

@@ -95,6 +95,32 @@ def test_sparse_embed_keeps_empty_intersection_candidates(spark):
     assert got == {(10, 11.0), (11, 0.0)}
 
 
+def test_serving_path_matches_and_runs_fewer_jobs(spark, built):
+    """prepare_serving + search_serving: identical results to the
+    DataFrame path, with strictly fewer Spark jobs per call (the match
+    rows are built driver-side — no qterms⋈termdict job)."""
+    idx, _ = built
+    qrows = synth_queries(spark, 6, seed=7).collect()
+    qtexts = [r["query"] for r in sorted(qrows, key=lambda r: r["query_id"])]
+    qdf = spark.createDataFrame(
+        list(enumerate(qtexts)), "query_id long, query string"
+    )
+    sc = spark.sparkContext
+
+    idx.prepare_serving()
+    for mode in ("bmw", "distributed", "auto"):
+        sc.setJobGroup(f"df-{mode}", "df path")
+        want = _res(search_index(idx, qdf, k=10, mode=mode))
+        sc.setJobGroup(f"serve-{mode}", "serving path")
+        got = _res(idx.search_serving(qtexts, k=10, mode=mode))
+        sc.setJobGroup("", "")
+        assert got == want, mode
+        n_df = len(sc.statusTracker().getJobIdsForGroup(f"df-{mode}"))
+        n_serve = len(sc.statusTracker().getJobIdsForGroup(f"serve-{mode}"))
+        assert n_serve < n_df, (mode, n_serve, n_df)
+    idx._serving = None
+
+
 def test_zip_with_index_checkpoints_only_keys(spark, tmp_path, monkeypatch):
     """The id-stability checkpoint must never pin wide payload columns
     (text) into executor storage (round-2 VERDICT what's-wrong #1)."""
