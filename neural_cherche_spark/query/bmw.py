@@ -433,7 +433,7 @@ def _run_suffix_bounds_signed(
     return pos_bound, neg_bound
 
 
-def _bmw_group_fn(k: int, raw_cfg: tuple | None = None):
+def _bmw_group_fn(k: int, raw_cfg: tuple | None = None, _stats: dict | None = None):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
 
     Pruning is sound under NEGATIVE weights (sign-split bounds):
@@ -507,6 +507,8 @@ def _bmw_group_fn(k: int, raw_cfg: tuple | None = None):
                     lo = np.searchsorted(doc_filter, first_doc[i])
                     if lo >= doc_filter.size or doc_filter[lo] > last_doc[i]:
                         continue
+                if _stats is not None:
+                    _stats["decoded"] = _stats.get("decoded", 0) + 1
                 if raw_cfg is not None:
                     d, tfv, dlv = decode_block_raw(
                         docs_col[i], tfs_col[i], dls_col[i]
@@ -550,11 +552,17 @@ def _bmw_group_fn(k: int, raw_cfg: tuple | None = None):
                 acc_d = np.insert(acc_d, pos[miss], uniq[miss])
                 acc_s = np.insert(acc_s, pos[miss], sums[miss])
 
-        chunk = max(64, 4 * k)
+        # adaptive schedule: small early chunks → earlier termination
+        # checks exactly where descending-ub mass is front-loaded
+        # (skewed groups prune after a handful of blocks); geometric
+        # growth caps per-check numpy overhead on uniform groups at a
+        # constant factor of the work that was unavoidable anyway.
+        chunk = max(32, k)
         pos = 0
         while pos < order.size:
             merge(*decode_chunk(order[pos : pos + chunk]))
             pos += chunk
+            chunk = min(chunk * 2, 4096)
             if acc_d.size >= k and pos < order.size:
                 # θ_low: ≥ k docs end with final score ≥ θ_low (their
                 # partials can drop at most suffix_neg from here on)

@@ -118,3 +118,58 @@ def test_bmw_group_matches_bruteforce(seed):
         (int(r.doc_id), float(r.score)) for r in got.head(K).itertuples()
     ]
     assert got_topk == _brute_topk(truth), f"seed={seed}"
+
+
+def test_adaptive_chunks_prune_skewed_groups():
+    """Microbench-style: on a skewed group (few dominant blocks, long
+    prunable tail) the adaptive chunk schedule must terminate after a
+    small fraction of blocks, and stay exact (VERDICT r2 #8)."""
+    rng = np.random.default_rng(99)
+    n_docs = 20_000
+    all_docs = np.arange(n_docs, dtype=np.int64)
+    truth = np.zeros(n_docs, dtype=np.float64)
+    frames = []
+    # term 0: rare, high-weight (the query's discriminative term)
+    docs_t = np.sort(rng.choice(all_docs, size=64, replace=False))
+    w = rng.integers(48, 64, size=64) / 64.0
+    truth[docs_t] += 3.0 * w
+    enc = encode_partition_bulk(
+        np.zeros(64, dtype=np.int64), np.zeros(64, dtype=np.int64),
+        docs_t, w.astype(np.float32), block_size=8,
+    )
+    frames.append(pd.DataFrame({
+        "term_id": enc["term_id"], "salt": enc["salt"], "qtf": 3.0,
+        "max_w": enc["max_w"], "min_w": enc["min_w"],
+        "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
+        "docs": enc["docs"], "ws": enc["ws"],
+    }))
+    # term 1: huge, tiny positive weights (a long prunable tail)
+    docs_t = np.sort(rng.choice(all_docs, size=16_000, replace=False))
+    w = rng.integers(1, 3, size=16_000) / 64.0
+    truth[docs_t] += 1.0 * w
+    enc = encode_partition_bulk(
+        np.full(16_000, 1, dtype=np.int64), np.zeros(16_000, dtype=np.int64),
+        docs_t, w.astype(np.float32), block_size=8,
+    )
+    frames.append(pd.DataFrame({
+        "term_id": enc["term_id"], "salt": enc["salt"], "qtf": 1.0,
+        "max_w": enc["max_w"], "min_w": enc["min_w"],
+        "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
+        "docs": enc["docs"], "ws": enc["ws"],
+    }))
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["query_id"] = 1
+    pdf["grp"] = 0
+    pdf["n_groups"] = 1
+    n_blocks = len(pdf)
+
+    stats: dict = {}
+    got = _bmw_group_fn(K, _stats=stats)(pdf)
+    got = got.sort_values(["score", "doc_id"], ascending=[False, True])
+    got_topk = [
+        (int(r.doc_id), round(float(r.score), 9)) for r in got.head(K).itertuples()
+    ]
+    want = [(d, round(s, 9)) for d, s in _brute_topk(truth)]
+    assert got_topk == want
+    # the tail term alone is ~2000 blocks; the schedule must stop early
+    assert stats["decoded"] < 0.25 * n_blocks, (stats, n_blocks)
