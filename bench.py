@@ -98,7 +98,39 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         timings[f"query_{mode}"] = min(walls)
 
+    # e2e headline = the phase set benched since round 1 (comparable
+    # across BENCH_r{N}.json); the raw/delta phases below are reported
+    # as additional keys
     total = sum(timings.values())
+
+    # q7: raw-storage build + O(new batch) delta refresh. The stream
+    # accumulates 7/8 of the corpus, materializes, then the LAST 1/8
+    # arrives and only the refresh is the headline wall — at scale this
+    # is the index's steady-state maintenance cost.
+    from neural_cherche_spark.streaming import CompressedIndexStream
+
+    state_dir, delta_dir = f"{work}/bench_state", f"{work}/bench_delta_idx"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    stream = CompressedIndexStream(spark, state_dir)
+    head = docs.filter(F.col("doc_id") % 8 != 0)
+    tail = docs.filter(F.col("doc_id") % 8 == 0)
+    stream.add_batch(head, epoch_id=0)
+    stream.materialize(delta_dir, n_buckets=cpus, storage="raw")
+    t0 = time.perf_counter()
+    stream.add_batch(tail, epoch_id=1)
+    ridx = stream.materialize(delta_dir, n_buckets=cpus, storage="raw")
+    timings["delta_refresh"] = time.perf_counter() - t0
+    n_tail = ridx.manifest.n_docs - head.count()
+
+    # q8: query the segmented raw index (query-time weights, f64)
+    ridx.search(load_queries, k=10, mode="bmw").collect()
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ridx.search(load_queries, k=10, mode="bmw").collect()
+        walls.append(time.perf_counter() - t0)
+    timings["query_bmw_raw"] = min(walls)
     out = {
         "metric": "bm25_engine_e2e",
         "value": round(total, 3),
@@ -117,6 +149,10 @@ def main() -> None:
         "qps_bmw": round(n_load / timings["query_bmw"], 2),
         "qps_distributed": round(n_load / timings["query_distributed"], 2),
         "qps_auto": round(n_load / timings["query_auto"], 2),
+        "docs_per_sec_delta_refresh": round(
+            n_tail / timings["delta_refresh"], 1
+        ),
+        "qps_bmw_raw": round(n_load / timings["query_bmw_raw"], 2),
     }
     print(json.dumps(out))
     spark.stop()

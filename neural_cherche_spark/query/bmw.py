@@ -222,6 +222,10 @@ def _empty_result(spark) -> DataFrame:
 # (query_id, doc_id) packed into one int64 key for the vectorized
 # combine: doc_id < 2^41 (10^12-doc design bound), query_id < 2^22.
 _DOC_BITS = 41
+# target expanded (query × posting) pairs per bulk decode task — sizes
+# the volume-driven task count in search_distributed (~1-2 s of numpy
+# work per task at 50-100M pairs/s/core)
+_PAIRS_PER_TASK = 2_000_000
 
 
 def _decode_score_fn(qmap_bc, raw_cfg=None):
@@ -338,14 +342,25 @@ def search_distributed(
         cols = ("term_id", "docs", "ws")
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
-    # coalesce (no shuffle) to ~slot count: fewer, bigger decode tasks
-    # maximize in-task combine of the (query_id, doc_id) partials —
-    # many small scan splits would emit nearly-undeduplicated partials
-    # and blow up the downstream shuffle.
+    # coalesce (no shuffle) to a VOLUME-driven task count — tasks
+    # follow data splits, as on a real cluster, NOT the executor
+    # count. Each decode task emits one partial per unique (query,
+    # doc) pair it touches, so partial duplication across tasks — the
+    # map-side-combine tradeoff — grows with task count. Sizing tasks
+    # by matched work (Σ df·|qs| expanded pairs, known from the match
+    # rows — no extra job) keeps the task set, and therefore the
+    # duplication, IDENTICAL as the fleet grows: a 4× fleet runs the
+    # same tasks 4× wider instead of splitting the same work into 4×
+    # the partials (round-2 study: slot-driven tasks gave 0.31
+    # N→4N efficiency at small volume). The 512 cap bounds per-task
+    # scheduling overhead; workloads big enough to hit it have
+    # per-task work that dwarfs duplication anyway.
+    vol = sum(int(r["df"]) * len(r["qs"]) for r in rows)
+    n_tasks = max(1, min((vol + _PAIRS_PER_TASK - 1) // _PAIRS_PER_TASK, 512))
     partial = (
         _postings_for(index, rows)
         .select(*cols)
-        .coalesce(max(sc.defaultParallelism, 1))
+        .coalesce(int(n_tasks))
         .mapInPandas(_decode_score_fn(qmap_bc, raw_cfg), _SCORE_SCHEMA)
     )
     scored = (

@@ -258,6 +258,29 @@ class CompressedIndexStream:
         )
 
 
+    def compact(
+        self,
+        index_dir: str,
+        n_buckets: int | None = None,
+        block_size: int = 128,
+        salt_every: int = 50_000,
+    ):
+        """Merge all segments of a raw index back into a single seg=0:
+        a full re-encode FROM THE ACCUMULATED TF (tokenization — the
+        dominant build cost — never re-runs). Run occasionally when a
+        high refresh cadence has produced many small segments (each
+        (term, salt) run fragments per segment; bounds stay sound but
+        per-block decode overhead accretes). Equivalent to
+        ``materialize(..., storage="raw", resume=False)``."""
+        return self.materialize(
+            index_dir,
+            n_buckets=n_buckets,
+            block_size=block_size,
+            salt_every=salt_every,
+            resume=False,
+            storage="raw",
+        )
+
     def _materialize_raw_delta(
         self,
         index_dir: str,

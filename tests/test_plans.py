@@ -90,3 +90,41 @@ def test_tokenize_stays_in_scan_projection(spark, corpus):
     plan = _optimized(out)
     # optimizer collapses to a single project+filter over the range
     assert "html" not in plan.lower() or "pushed" in plan.lower()
+
+
+def test_raw_search_plan_broadcasts_and_prunes(spark, corpus, tmp_path):
+    """Raw-storage search plan: query side broadcast, term_id pushed
+    into parquet, bucket (and seg) directory pruning on the segmented
+    layout, and the block-bound arithmetic stays a JVM expression (no
+    extra Python eval beyond the grouped scorer)."""
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import search_bmw
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), id_col="doc_id",
+        n_buckets=8, salt_every=50, storage="raw",
+    )
+    queries = synth_queries(spark, 3, seed=4)
+    plan = _plan(search_bmw(idx, queries, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan and "term_id" in plan
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # exactly one Python eval: the grouped block-max scorer
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_raw_distributed_plan_single_python_stage(spark, corpus, tmp_path):
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import search_distributed
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), id_col="doc_id",
+        n_buckets=8, salt_every=50, storage="raw",
+    )
+    queries = synth_queries(spark, 3, seed=4)
+    plan = _plan(search_distributed(idx, queries, k=5))
+    # one Arrow-batched decode stage; no row-at-a-time Python
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters: [" in plan and "term_id" in plan

@@ -179,3 +179,28 @@ def test_delta_termdict_ids_stay_stable(spark, corpus, tmp_path):
     assert len(set(ids2.values())) == len(ids2)
     idx1.close()
     idx2.close()
+
+
+def test_compact_merges_segments(spark, corpus, tmp_path):
+    """compact() folds a multi-segment raw index back to seg=0 with
+    identical search results (tokenize never re-runs: it re-encodes
+    from the accumulated tf)."""
+    from tests.conftest import assert_rank_identical
+
+    stream = CompressedIndexStream(spark, str(tmp_path / "state"))
+    stream.add_batch(corpus.filter(F.col("doc_id") < 150), epoch_id=0)
+    d = str(tmp_path / "idx")
+    stream.materialize(d, n_buckets=4, salt_every=50, storage="raw")
+    stream.add_batch(corpus.filter(F.col("doc_id") >= 150), epoch_id=1)
+    idx = stream.materialize(d, n_buckets=4, salt_every=50, storage="raw")
+    assert len(idx.manifest.segments) == 2
+    queries = synth_queries(spark, 8, seed=3)
+    want = _topk_lists(idx, queries, "bmw")
+
+    idx2 = stream.compact(d, n_buckets=4, salt_every=50)
+    assert [s["seg"] for s in idx2.manifest.segments] == [0]
+    assert idx2.manifest.n_docs == 300
+    got = _topk_lists(idx2, queries, "bmw")
+    assert set(got) == set(want)
+    for qid in want:
+        assert_rank_identical(got[qid], want[qid], rtol=1e-9)
