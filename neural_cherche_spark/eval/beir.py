@@ -93,9 +93,18 @@ def evaluate(
     for m in metrics:
         k = int(m.split("@")[1]) if "@" in m else full_k
         by_k.setdefault(k, []).append(m)
+    # ONE action for all distinct k's: union the per-k single-row
+    # aggregates and collect once (each branch shares the same scanned
+    # inputs inside one job) — previously one job + collect per k
+    from functools import reduce
+
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [evaluate_run(run, qrels_df, k=k) for k in by_k],
+    )
+    rows_by_k = {int(r["k"]): r for r in unioned.collect()}
     out: dict[str, float] = {}
     for k, ms in by_k.items():
-        row = evaluate_run(run, qrels_df, k=k).collect()[0]
         for m in ms:
-            out[m] = float(row[m.split("@")[0]])
+            out[m] = float(rows_by_k[k][m.split("@")[0]])
     return out

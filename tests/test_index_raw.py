@@ -89,3 +89,18 @@ def test_raw_rejects_tfidf(spark, corpus, tmp_path):
             spark, corpus, str(tmp_path / "x"), id_col="doc_id",
             weighting="tfidf", storage="raw",
         )
+
+
+def test_raw_serving_path_matches_exact(spark, raw_index, queries, exact_topk):
+    """The driver-side serving path over a raw index computes the same
+    query-time weights (s_t carried in the serving map)."""
+    qtexts = [
+        r["query"]
+        for r in sorted(queries.collect(), key=lambda r: r["query_id"])
+    ]
+    raw_index.prepare_serving()
+    got = _collect_topk(raw_index.search_serving(qtexts, k=10, mode="bmw"))
+    assert set(got) == set(exact_topk)
+    for qid in exact_topk:
+        assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
+    raw_index._serving = None
