@@ -537,6 +537,46 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition rules (dup-word / dup-2gram /
+    top-word fractions + threshold flag) — pure Catalyst, zero
+    shuffle."""
+    from neural_cherche_spark.text.analysis import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+# deterministic synthetic PII injected into the corpus text so the
+# scrub gate has real positives (emails on doc_id%5, phone-shaped runs
+# on doc_id%7; CASE order disambiguates doc_id%35)
+_PII_AUGMENT = (
+    "concat(text, CASE "
+    "WHEN doc_id % 5 = 0 THEN concat(' contact user', doc_id, '@example.com now') "
+    "WHEN doc_id % 7 = 0 THEN concat(' call 555-0100-', cast(doc_id % 90 + 10 as int), ' today') "
+    "ELSE '' END)"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction counts + redacted-text digest over the
+    deterministically PII-augmented corpus."""
+    from neural_cherche_spark.text.analysis import pii_scrub
+
+    aug = _docs(spark, sf_dir).withColumn("text", F.expr(_PII_AUGMENT))
+    return pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_phones",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-shared shingle fraction (boilerplate /
+    contamination screen)."""
+    from neural_cherche_spark.ops.dedup import shingle_novelty
+
+    return shingle_novelty(_docs(spark, sf_dir), n=3)
+
+
 def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage rank step (SURVEY §3.3): MaxSim late interaction over
     token-embedding tables derived deterministically from the
@@ -802,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "token_count": _q_token_count,
         "doc_fingerprint": _q_doc_fingerprint,
+        "repetition_metrics": _q_repetition_metrics,
+        "pii_scrub": _q_pii_scrub,
+        "shingle_novelty": _q_shingle_novelty,
         "colbert_maxsim": _q_colbert_maxsim,
         "colbert_retrieve": _q_colbert_retrieve,
         "splade_topk": _q_splade_topk,
@@ -1176,6 +1219,72 @@ def oracle_sql() -> dict[str, str]:
                         % 2147483648 AS BIGINT) AS fingerprint
             FROM dwords, LATERAL unnest(range(1, len(w) + 1)) AS u(i)
             GROUP BY 1
+        """,
+        "repetition_metrics": f"""
+            WITH {_DUCK_WORDS},
+            m AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round(1.0 - len(list_distinct(w)) / len(w)::DOUBLE, 6)
+                     END AS dup_word_frac,
+                     CASE WHEN len(w) < 2 THEN []
+                          ELSE list_transform(range(1, len(w)),
+                                              i -> w[i] || ' ' || w[i + 1])
+                     END AS g,
+                     CASE WHEN len(w) = 0 THEN 0.0
+                          ELSE round(list_max(list_transform(list_distinct(w),
+                                     x -> len(list_filter(w, y -> y = x))))
+                               / len(w)::DOUBLE, 6)
+                     END AS top_word_frac
+              FROM dwords
+            ),
+            m2 AS (
+              SELECT doc_id, n_words, dup_word_frac,
+                     CASE WHEN len(g) = 0 THEN 0.0
+                          ELSE round(1.0 - len(list_distinct(g)) / len(g)::DOUBLE, 6)
+                     END AS dup_2gram_frac,
+                     top_word_frac
+              FROM m
+            )
+            SELECT doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac,
+                   (CASE WHEN top_word_frac <= 0.2 AND dup_2gram_frac <= 0.2
+                              AND dup_word_frac <= 0.7
+                         THEN 1 ELSE 0 END)::INTEGER AS repetition_ok
+            FROM m2
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now'
+                       WHEN doc_id % 7 = 0 THEN ' call 555-0100-' || (doc_id % 90 + 10)::INTEGER || ' today'
+                       ELSE '' END AS t
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+              FROM aug
+            )
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t2, '\\+?\\d[\\d\\- ]{7,}\\d'))::BIGINT AS n_phones,
+                   md5(regexp_replace(t2, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')) AS clean_md5
+            FROM e
+        """,
+        "shingle_novelty": f"""
+            WITH {_DUCK_SHINGLES},
+            sdf AS (SELECT shingle, count(*) AS c FROM shingles GROUP BY 1),
+            per AS (
+              SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+                     round(avg(CASE WHEN c >= 2 THEN 1.0 ELSE 0.0 END), 6) AS shared_frac
+              FROM shingles s JOIN sdf USING (shingle)
+              GROUP BY 1
+            )
+            SELECT doc_id, n_shingles, shared_frac,
+                   round(1.0 - shared_frac, 6) AS novelty
+            FROM per
         """,
         "colbert_maxsim": """
             WITH tok AS (

@@ -227,3 +227,38 @@ def simhash_neighbors(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, shared_frac, novelty) — per-document
+    fraction of word n-gram shingles that also occur in at least one
+    OTHER document. The boilerplate/contamination screen of C4-style
+    pipelines: a doc whose shingles are mostly corpus-shared is
+    template text or a near-copy (complementary to pairwise dedup —
+    this is per-doc and needs no candidate generation).
+
+    Plan: distinct (doc, shingle) → shingle-keyed agg (map-side
+    combine; zipfian shingle skew is agg-side, AQE-handled) → join
+    back → doc-keyed avg. Two shuffles, no all-pairs anything:
+    the 10^12-doc shape.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    return (
+        sh.join(sdf, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg((F.col("sdf") >= 2).cast("double")), 6
+            ).alias("shared_frac"),
+        )
+        .withColumn(
+            "novelty", F.round(1.0 - F.col("shared_frac"), 6)
+        )
+    )

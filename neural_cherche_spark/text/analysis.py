@@ -157,3 +157,107 @@ def doc_fingerprint(
             .alias("fingerprint")
         )
     )
+
+
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac,
+    repetition_ok) — Gopher-style within-document repetition rules
+    (Rae et al. 2021 §A1.1: documents dominated by a few repeated
+    words/n-grams are boilerplate or spam). Pure Catalyst array
+    expressions — zero shuffle, whole-stage codegen; the O(distinct ·
+    n) top-word scan is per-document and bounded by document length.
+
+    repetition_ok applies published-style thresholds (most-common word
+    ≤ 20% of tokens, duplicate 2-grams ≤ 20%, duplicate words ≤ 70%).
+    """
+    df = docs.select(
+        F.col(id_col), word_tokens_column(text_col).alias("__w")
+    )
+    # size guard: Spark's sequence(1, 0) is DESCENDING [1, 0] and
+    # element_at(_, 0) errors — docs under 2 words get an empty array
+    grams = (
+        "IF(size(__w) < 2, array(), "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))))"
+    )
+    return (
+        df.withColumn("n_words", F.expr("size(__w)").cast("long"))
+        .withColumn(
+            "dup_word_frac",
+            F.round(
+                F.expr(
+                    "IF(size(__w) = 0, 0.0D, "
+                    "1.0D - size(array_distinct(__w)) / CAST(size(__w) AS DOUBLE))"
+                ),
+                6,
+            ),
+        )
+        .withColumn("__g", F.expr(grams))
+        .withColumn(
+            "dup_2gram_frac",
+            F.round(
+                F.expr(
+                    "IF(size(__g) = 0, 0.0D, "
+                    "1.0D - size(array_distinct(__g)) / CAST(size(__g) AS DOUBLE))"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.round(
+                F.expr(
+                    "IF(size(__w) = 0, 0.0D, "
+                    "array_max(transform(array_distinct(__w), "
+                    "x -> size(filter(__w, y -> y = x)))) "
+                    "/ CAST(size(__w) AS DOUBLE))"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "repetition_ok",
+            (
+                (F.col("top_word_frac") <= 0.2)
+                & (F.col("dup_2gram_frac") <= 0.2)
+                & (F.col("dup_word_frac") <= 0.7)
+            ).cast("int"),
+        )
+        .select(
+            id_col, "n_words", "dup_word_frac", "dup_2gram_frac",
+            "top_word_frac", "repetition_ok",
+        )
+    )
+
+
+# RE2-safe (portable to DuckDB) PII patterns — no backrefs/lookarounds
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_text) — regex PII redaction
+    (emails → <EMAIL>, phone-number-shaped digit runs → <PHONE>), the
+    standard pre-training scrub pass. Pure Catalyst; patterns are
+    RE2-compatible so the DuckDB oracle runs the identical regexes."""
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_PHONE_RE),
+        )
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
