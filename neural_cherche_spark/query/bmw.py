@@ -223,9 +223,12 @@ def _empty_result(spark) -> DataFrame:
 # combine: doc_id < 2^41 (10^12-doc design bound), query_id < 2^22.
 _DOC_BITS = 41
 # target expanded (query × posting) pairs per bulk decode task — sizes
-# the volume-driven task count in search_distributed (~1-2 s of numpy
-# work per task at 50-100M pairs/s/core)
-_PAIRS_PER_TASK = 2_000_000
+# the volume-driven task count in search_distributed. Small enough
+# that modest batches still fan out across a wide host (250k pairs ≈
+# a few ms of numpy — worker round-trip bounded), while the 512-task
+# cap keeps the task set constant (and per-task work growing) as
+# workloads scale up.
+_PAIRS_PER_TASK = 250_000
 
 
 def _decode_score_fn(qmap_bc, raw_cfg=None):
