@@ -299,12 +299,24 @@ def _q_bm25_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, a materialize after each (second one appends seg=1 only,
     seg=0 bytes untouched), block-max search over the merged segments —
     must match the full-corpus exact oracle (global stats stay exact
-    across refreshes; no stale-idf quirk)."""
+    across refreshes; no stale-idf quirk).
+
+    The /tmp state dir is keyed by the INPUT FILES' stat signature, not
+    just the path: the stream ledger skips replayed epochs by id, so a
+    regenerated corpus under the same path must map to fresh state
+    (unlike the build_index gates, whose resume is content-fingerprinted
+    internally)."""
     import hashlib
+    import os as _os
 
     from neural_cherche_spark.streaming import CompressedIndexStream
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    p = f"{sf_dir}/documents.parquet"
+    parts = [sf_dir]
+    for f in sorted(_os.listdir(p)) if _os.path.isdir(p) else [None]:
+        st = _os.stat(_os.path.join(p, f) if f else p)
+        parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
     docs = _docs(spark, sf_dir)
     stream = CompressedIndexStream(
         spark, f"/tmp/ncs_entry_delta_state_{tag}"
