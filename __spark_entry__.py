@@ -301,22 +301,16 @@ def _q_bm25_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     must match the full-corpus exact oracle (global stats stay exact
     across refreshes; no stale-idf quirk).
 
-    The /tmp state dir is keyed by the INPUT FILES' stat signature, not
-    just the path: the stream ledger skips replayed epochs by id, so a
-    regenerated corpus under the same path must map to fresh state
-    (unlike the build_index gates, whose resume is content-fingerprinted
-    internally)."""
-    import hashlib
-    import os as _os
-
+    The /tmp state dir is keyed by a CONTENT hash of the input parquet
+    bytes, not just the path: the stream ledger skips replayed epochs
+    by id, so a regenerated corpus under the same path must map to
+    fresh state (unlike the build_index gates, whose resume is
+    content-fingerprinted internally). Stat signatures are not enough —
+    mtime has 1 s granularity, so a same-size regeneration within one
+    second would silently reuse stale state."""
     from neural_cherche_spark.streaming import CompressedIndexStream
 
-    p = f"{sf_dir}/documents.parquet"
-    parts = [sf_dir]
-    for f in sorted(_os.listdir(p)) if _os.path.isdir(p) else [None]:
-        st = _os.stat(_os.path.join(p, f) if f else p)
-        parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
-    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    tag = _content_tag(sf_dir)
     docs = _docs(spark, sf_dir)
     stream = CompressedIndexStream(
         spark, f"/tmp/ncs_entry_delta_state_{tag}"
@@ -329,6 +323,88 @@ def _q_bm25_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_dir, n_buckets=8, salt_every=50, storage="raw"
     )
     assert len(idx.manifest.segments) == 2, "delta gate must span 2 segments"
+    return _rank_on_grid(
+        idx.search(_queries_df(spark), k=TOP_K, mode="bmw"), _COMPRESSED_DP
+    )
+
+
+def _content_tag(sf_dir: str) -> str:
+    """md5 over the documents.parquet BYTES (plus the path): the /tmp
+    stream-state keys must change whenever the corpus content does,
+    even for a same-size same-second regeneration."""
+    import hashlib
+    import os as _os
+
+    p = f"{sf_dir}/documents.parquet"
+    h = hashlib.md5(sf_dir.encode())
+    files = (
+        [_os.path.join(p, f) for f in sorted(_os.listdir(p))]
+        if _os.path.isdir(p)
+        else [p]
+    )
+    for fp in files:
+        if not _os.path.isfile(fp):
+            continue
+        h.update(_os.path.basename(fp).encode())
+        with open(fp, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+    return h.hexdigest()[:10]
+
+
+def _q_tfidf_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the tfidf raw/delta path (round-4): two
+    stream batches materialized with weighting='tfidf', storage='raw'
+    — seg=1 appended, docnorm revision rewritten — must match the
+    full-corpus exact TfIdf cosine oracle on the 6-dp grid (raw
+    scores are f64 end-to-end)."""
+    from neural_cherche_spark.streaming import CompressedIndexStream
+
+    tag = _content_tag(sf_dir)
+    docs = _docs(spark, sf_dir)
+    stream = CompressedIndexStream(
+        spark, f"/tmp/ncs_entry_tfdelta_state_{tag}"
+    )
+    idx_dir = f"/tmp/ncs_entry_tfdelta_idx_{tag}"
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0)
+    stream.materialize(
+        idx_dir, n_buckets=8, salt_every=50,
+        storage="raw", weighting="tfidf",
+    )
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
+    idx = stream.materialize(
+        idx_dir, n_buckets=8, salt_every=50,
+        storage="raw", weighting="tfidf",
+    )
+    assert len(idx.manifest.segments) == 2, "delta gate must span 2 segments"
+    return _rank_on_grid(idx.search(_queries_df(spark), k=TOP_K), 6)
+
+
+def _q_bm25_topk_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for DELETE support (round-4, beyond-reference):
+    two stream batches + a delete batch (doc_id % 7 == 3), delta
+    materialize (tombstone masking over untouched segments, ledger-
+    exact stats), block-max search — must match the exact oracle over
+    the REMAINING documents only."""
+    from neural_cherche_spark.streaming import CompressedIndexStream
+
+    tag = _content_tag(sf_dir)
+    docs = _docs(spark, sf_dir)
+    stream = CompressedIndexStream(
+        spark, f"/tmp/ncs_entry_del_state_{tag}"
+    )
+    idx_dir = f"/tmp/ncs_entry_del_idx_{tag}"
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 0), epoch_id=0)
+    stream.materialize(idx_dir, n_buckets=8, salt_every=50, storage="raw")
+    stream.add_batch(docs.filter(F.col("doc_id") % 2 == 1), epoch_id=1)
+    stream.delete_batch(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+        epoch_id=2,
+    )
+    idx = stream.materialize(
+        idx_dir, n_buckets=8, salt_every=50, storage="raw"
+    )
+    assert idx.manifest.tombstones_path, "delete gate must carry tombstones"
     return _rank_on_grid(
         idx.search(_queries_df(spark), k=TOP_K, mode="bmw"), _COMPRESSED_DP
     )
@@ -837,9 +913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
         "bm25_topk_raw_bmw": _q_bm25_topk_raw_bmw,
         "bm25_topk_delta": _q_bm25_topk_delta,
+        "bm25_topk_delete": _q_bm25_topk_delete,
         "bm25_topk_distributed": _q_bm25_topk_compressed("distributed"),
         "tfidf_topk": _q_tfidf_topk,
         "tfidf_topk_bmw": _q_tfidf_topk_bmw,
+        "tfidf_topk_delta": _q_tfidf_topk_delta,
         "field_concat": _q_field_concat,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -942,6 +1020,28 @@ def oracle_sql() -> dict[str, str]:
                 "bm25_topk_delta",
             )
         },
+        "bm25_topk_delete": f"""
+            WITH docs_kept AS (
+              SELECT * FROM documents WHERE doc_id % 7 != 3
+            ),
+            {_TOK_DOCS.replace("FROM documents,", "FROM docs_kept,")},
+            {_BM25_WEIGHTS}, {_TOK_QUERIES},
+            scored AS (
+              SELECT qtf.query_id, weights.doc_id,
+                     round(sum(qtf.qtf * weights.w), {_COMPRESSED_DP}) AS score
+              FROM qtf JOIN weights USING (term)
+              GROUP BY 1, 2
+              HAVING round(sum(qtf.qtf * weights.w), {_COMPRESSED_DP}) > 0
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+        """,
         # tfidf: exact DataFrame path at 6 dp; compressed block-max
         # path at 4 dp (float32 stored weights)
         **{
@@ -991,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
             for name, dp in (
                 ("tfidf_topk", 6),
                 ("tfidf_topk_bmw", _COMPRESSED_DP),
+                ("tfidf_topk_delta", 6),
             )
         },
         "field_concat": """

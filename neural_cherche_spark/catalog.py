@@ -61,6 +61,24 @@ class Manifest:
     # with the manifest save (can't overwrite a parquet dir in place
     # while deriving the new snapshot from it)
     termdict_path: str = "termdict"
+    # True when the last raw delta refresh ran with freeze_stats: old
+    # terms kept their previous idf/term_norm (the reference add()'s
+    # stale-statistics trade) — scores are approximate until the next
+    # exact refresh or compact()
+    stats_frozen: bool = False
+    # logically-deleted doc ids (raw storage only; "" = none). Postings
+    # for these docs still sit in immutable segments — every query path
+    # masks them; compact() drops them physically and clears this.
+    tombstones_path: str = ""
+    # delete-ledger batches already reflected in this snapshot (so a
+    # refresh with only new DELETES — no new doc batches — is not
+    # skipped as a no-op)
+    applied_delete_batches: int = 0
+    # per-doc L2 norm table (tfidf + raw storage only; "" = none).
+    # Same revision discipline as termdict_path: every refresh rewrites
+    # the norms (idf moved ⇒ every doc norm moved) into a fresh dir and
+    # the manifest flip publishes it.
+    docnorm_path: str = ""
 
 
 class IndexCatalog:

@@ -37,6 +37,7 @@ import os
 import time
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,8 +149,16 @@ def _zip_with_index(
     if check_unique:
         r = keys.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(order_col).alias("nn"),  # non-null rows
             F.countDistinct(order_col).alias("nd"),
         ).collect()[0]
+        if r["nn"] != r["n"]:
+            # a NULL key would silently vanish in the payload equi-join
+            # below (NULL never equi-matches) — fail loudly instead
+            raise ValueError(
+                f"{order_col!r} contains {r['n'] - r['nn']} null key(s); "
+                f"keys must be non-null for deterministic id assignment"
+            )
         if r["n"] != r["nd"]:
             raise ValueError(
                 f"{order_col!r} must be unique for deterministic id "
@@ -330,17 +339,20 @@ def build_index(
     weights are computed at query time (full f64) from the current
     termdict stats. Raw is the segmented/incremental layout: old
     blocks are immutable under collection growth, which is what makes
-    CompressedIndexStream's delta materialization O(new batch). Raw
-    requires bm25 weighting (the tfidf per-DOC norm couples every
-    posting of a doc to the global idf vector — a raw tfidf block
-    cannot be scored block-locally).
+    CompressedIndexStream's delta materialization O(new batch). With
+    tfidf weighting the per-DOC L2 norm couples every posting of a doc
+    to the global idf vector, so a raw tfidf block cannot be scored
+    block-locally: norms live in a per-refresh ``docnorm`` table
+    (doc_id → ‖d‖) and queries score unnormalized (qw·tf·idf), then
+    divide by the norm via one doc-keyed join of the CANDIDATE set
+    against docnorm — which also means tfidf+raw always takes the
+    bulk decode-score path (block-max bounds would need per-block
+    norm minima that go stale on every refresh).
     """
     if weighting not in ("bm25", "tfidf"):
         raise ValueError(f"unknown weighting {weighting!r}")
     if storage not in ("weights", "raw"):
         raise ValueError(f"unknown storage {storage!r}")
-    if storage == "raw" and weighting != "bm25":
-        raise ValueError("storage='raw' supports only bm25 weighting")
     cat = IndexCatalog(index_dir)
     walls: dict[str, float] = {}
     if n_buckets is None:
@@ -605,6 +617,28 @@ def _finish_build(
     walls["postings"] = time.perf_counter() - t0
     postings = spark.read.parquet(cat.path("postings"))
 
+    # ---- docnorm (tfidf + raw only) -------------------------------------
+    # per-doc L2 norm ‖d‖ = sqrt(Σ_t (tf·idf_t)²): raw tfidf blocks
+    # store tf, queries score unnormalized and divide by ‖d‖ via a
+    # doc-keyed join of the candidate set against this table. One
+    # term-keyed join + one doc-keyed agg over tf — recomputed whole
+    # on every refresh because idf moves (norms are per-doc SCALARS:
+    # the rewrite is O(n_docs) bytes, postings stay untouched).
+    docnorm_path = ""
+    if storage == "raw" and weighting == "tfidf":
+        t0 = time.perf_counter()
+        docnorm_path = "docnorm"
+        if not cat.stage_done(manifest, "docnorm", fingerprint):
+            (
+                tf.join(termdict.select("term", "idf"), "term")
+                .withColumn("wr", F.col("tf") * F.col("idf"))
+                .groupBy("doc_id")
+                .agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("dnorm"))
+                .write.mode("overwrite")
+                .parquet(cat.path("docnorm"))
+            )
+        walls["docnorm"] = time.perf_counter() - t0
+
     # ---- lineage (per-bucket metrics table) ------------------------------
     # column-pruned aggregation: n_bytes was computed at encode time, so
     # this scan never touches the (dominant) binary docs/ws columns —
@@ -655,12 +689,14 @@ def _finish_build(
         stages={
             s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
             for s in ("tf", "docmap", "termdict", "postings", "lineage")
+            + (("docnorm",) if docnorm_path else ())
         },
         segments=(
             [{"seg": 0, "n_postings": int(n_postings)}]
             if storage == "raw"
             else []
         ),
+        docnorm_path=docnorm_path,
     )
     cat.save_manifest(m)
     return BM25Index(spark, index_dir)
@@ -686,6 +722,7 @@ class BM25Index:
         )
         self._termdict: DataFrame | None = None
         self._serving: dict | None = None
+        self._tomb_bc = None
 
     @property
     def postings(self) -> DataFrame:
@@ -712,6 +749,45 @@ class BM25Index:
     @property
     def docmap(self) -> DataFrame:
         return self.spark.read.parquet(self.cat.path("docmap"))
+
+    @property
+    def docnorm(self) -> DataFrame:
+        """(doc_id, dnorm) — per-doc L2 norms (tfidf + raw storage
+        only; revision dir published by the manifest pointer)."""
+        p = getattr(self.manifest, "docnorm_path", "") or ""
+        if not p:
+            raise RuntimeError("index has no docnorm table")
+        return self.spark.read.parquet(self.cat.path(p))
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """(doc_id) — logically-deleted docs whose postings still sit
+        in immutable segments (raw storage; physically dropped by
+        compact()). None when the index carries no deletions."""
+        p = getattr(self.manifest, "tombstones_path", "") or ""
+        if not p:
+            return None
+        return self.spark.read.parquet(self.cat.path(p))
+
+    def _tombstone_bc(self):
+        """Sorted-int64 tombstone ids as a broadcast, cached per
+        handle: the scorers mask decoded docs with one searchsorted
+        pass. Driver-held like the serving termdict (~8 B/deleted doc
+        — fine to ~10^8; compact() is the pressure valve that clears
+        it, and high-delete workloads should compact on a cadence)."""
+        if getattr(self, "_tomb_bc", None) is not None:
+            return self._tomb_bc
+        t = self.tombstones
+        if t is None:
+            return None
+        ids = np.sort(
+            np.array(
+                [r["doc_id"] for r in t.select("doc_id").collect()],
+                dtype=np.int64,
+            )
+        )
+        self._tomb_bc = self.spark.sparkContext.broadcast(ids)
+        return self._tomb_bc
 
     @property
     def lineage(self) -> DataFrame:
@@ -784,6 +860,9 @@ class BM25Index:
         close handles they are done with or cached tables accumulate
         in executor storage."""
         self._serving = None
+        if self._tomb_bc is not None:
+            self._tomb_bc.unpersist()
+            self._tomb_bc = None
         if self._termdict is not None:
             self._termdict.unpersist()
             self._termdict = None

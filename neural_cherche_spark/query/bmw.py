@@ -53,6 +53,16 @@ from pyspark.sql.types import (
 
 from neural_cherche_spark.query.exact import query_term_counts
 
+def _not_tombstoned(d: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask over decoded doc ids vs the sorted tombstone
+    array — one searchsorted pass, O(n log m)."""
+    pos = np.searchsorted(tomb, d)
+    hit = np.zeros(d.size, dtype=bool)
+    inb = pos < tomb.size
+    hit[inb] = tomb[pos[inb]] == d[inb]
+    return ~hit
+
+
 _SCORE_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -123,23 +133,17 @@ def _tfidf_transform_rows(rows: list) -> list:
             qnorm_sq[qid] = qnorm_sq.get(qid, 0.0) + qw * qw
     out = []
     for r in rows:
-        out.append(
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        d["qs"] = [
             {
-                "term_id": r["term_id"],
-                "n_salts": r["n_salts"],
-                "df": r["df"],
-                "buckets": r["buckets"],
-                "qs": [
-                    {
-                        "query_id": int(q["query_id"]),
-                        "qtf": float(q["qtf"])
-                        * float(r["idf"])
-                        / (qnorm_sq[int(q["query_id"])] ** 0.5),
-                    }
-                    for q in r["qs"]
-                ],
+                "query_id": int(q["query_id"]),
+                "qtf": float(q["qtf"])
+                * float(r["idf"])
+                / (qnorm_sq[int(q["query_id"])] ** 0.5),
             }
-        )
+            for q in r["qs"]
+        ]
+        out.append(d)
     return out
 
 
@@ -231,7 +235,7 @@ _DOC_BITS = 41
 _PAIRS_PER_TASK = 250_000
 
 
-def _decode_score_fn(qmap_bc, raw_cfg=None):
+def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
     """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
     inside the worker via a broadcast {term_id: (qids[], qtfs[])}
     dict, so a hot block shared by Q queries is shuffled and decoded
@@ -252,13 +256,15 @@ def _decode_score_fn(qmap_bc, raw_cfg=None):
         )
 
         qmap = qmap_bc.value
+        tomb = tomb_bc.value if tomb_bc is not None else None
         mask = (1 << _DOC_BITS) - 1
         for pdf in batches:
             if pdf.empty:
                 continue
             per_term: dict[int, tuple[list, list]] = {}
             if raw_cfg is not None:
-                k1, b, eps, avgdl = raw_cfg
+                k1, b, eps, avgdl, weighting = raw_cfg
+                tfidf = weighting == "tfidf"
                 for tid, docs_bin, tfs_bin, dls_bin in zip(
                     pdf["term_id"], pdf["docs"], pdf["tfs"], pdf["dls"]
                 ):
@@ -266,8 +272,18 @@ def _decode_score_fn(qmap_bc, raw_cfg=None):
                     if hit is None:
                         continue
                     d, tfv, dlv = decode_block_raw(docs_bin, tfs_bin, dls_bin)
-                    # query-time weight from CURRENT stats: w1 · idf/norm
-                    w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
+                    if tfidf:
+                        # unnormalized tf·idf — the per-doc L2 norm is
+                        # divided out AFTER aggregation (docnorm join
+                        # in search_distributed)
+                        w = tfv.astype(np.float64) * hit[2]
+                    else:
+                        # query-time weight from CURRENT stats:
+                        # w1 · idf/norm
+                        w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
+                    if tomb is not None and d.size:
+                        keep = _not_tombstoned(d, tomb)
+                        d, w = d[keep], w[keep]
                     buf = per_term.setdefault(int(tid), ([], []))
                     buf[0].append(d)
                     buf[1].append(w)
@@ -279,6 +295,9 @@ def _decode_score_fn(qmap_bc, raw_cfg=None):
                     if hit is None:
                         continue
                     d, w = decode_block(docs_bin, ws_bin)
+                    if tomb is not None and d.size:
+                        keep = _not_tombstoned(d, tomb)
+                        d, w = d[keep], w[keep]
                     buf = per_term.setdefault(int(tid), ([], []))
                     buf[0].append(d)
                     buf[1].append(w)
@@ -317,17 +336,22 @@ def search_distributed(
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
-    raw = index.manifest.cfg.get("storage", "weights") == "raw"
+    cfgm = index.manifest.cfg
+    raw = cfgm.get("storage", "weights") == "raw"
+    tfidf_raw = raw and cfgm.get("weighting", "bm25") == "tfidf"
     if raw:
-        cfgm = index.manifest.cfg
         raw_cfg = (
             float(cfgm["k1"]), float(cfgm["b"]),
             float(cfgm["epsilon"]), float(index.manifest.avgdl),
+            cfgm.get("weighting", "bm25"),
         )
         qmap = {
             int(r["term_id"]): (
                 np.array([int(q["query_id"]) for q in r["qs"]], dtype=np.int64),
                 np.array([float(q["qtf"]) for q in r["qs"]], dtype=np.float64),
+                # bm25: s_t = idf/term_norm; tfidf: term_norm ≡ 1.0 so
+                # this is idf — the doc-side weight before the per-doc
+                # norm division applied after aggregation
                 float(r["idf"]) / float(r["term_norm"]),
             )
             for r in rows
@@ -360,17 +384,32 @@ def search_distributed(
     # per-task work that dwarfs duplication anyway.
     vol = sum(int(r["df"]) * len(r["qs"]) for r in rows)
     n_tasks = max(1, min((vol + _PAIRS_PER_TASK - 1) // _PAIRS_PER_TASK, 512))
+    tomb_bc = (
+        index._tombstone_bc() if hasattr(index, "_tombstone_bc") else None
+    )
     partial = (
         _postings_for(index, rows)
         .select(*cols)
         .coalesce(int(n_tasks))
-        .mapInPandas(_decode_score_fn(qmap_bc, raw_cfg), _SCORE_SCHEMA)
+        .mapInPandas(
+            _decode_score_fn(qmap_bc, raw_cfg, tomb_bc), _SCORE_SCHEMA
+        )
     )
-    scored = (
-        partial.groupBy("query_id", "doc_id")
-        .agg(F.sum("score").alias("score"))
-        .filter(F.col("score") > 0)
+    scored = partial.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score")
     )
+    if tfidf_raw:
+        # cosine normalization factors out of the per-term sum:
+        # score = (Σ_t qw·tf·idf) / ‖d‖ — so the per-doc norm joins
+        # against the (already aggregated, query-bounded) CANDIDATE
+        # set, never against the postings. Doc-keyed equi-join; the
+        # docnorm side is (doc_id, dnorm) scalars.
+        scored = (
+            scored.join(index.docnorm, "doc_id")
+            .withColumn("score", F.col("score") / F.col("dnorm"))
+            .select("query_id", "doc_id", "score")
+        )
+    scored = scored.filter(F.col("score") > 0)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -451,7 +490,12 @@ def _run_suffix_bounds_signed(
     return pos_bound, neg_bound
 
 
-def _bmw_group_fn(k: int, raw_cfg: tuple | None = None, _stats: dict | None = None):
+def _bmw_group_fn(
+    k: int,
+    raw_cfg: tuple | None = None,
+    _stats: dict | None = None,
+    tomb_bc=None,
+):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
 
     Pruning is sound under NEGATIVE weights (sign-split bounds):
@@ -479,6 +523,7 @@ def _bmw_group_fn(k: int, raw_cfg: tuple | None = None, _stats: dict | None = No
             doc_salt,
         )
 
+        tomb = tomb_bc.value if tomb_bc is not None else None
         qid = int(pdf["query_id"].iloc[0])
         grp = int(pdf["grp"].iloc[0])
         n_groups = int(pdf["n_groups"].iloc[0])
@@ -495,7 +540,7 @@ def _bmw_group_fn(k: int, raw_cfg: tuple | None = None, _stats: dict | None = No
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
         if raw_cfg is not None:
-            k1, b, eps, avgdl = raw_cfg
+            k1, b, eps, avgdl = raw_cfg[:4]
             tfs_col = pdf["tfs"].to_numpy()
             dls_col = pdf["dls"].to_numpy()
             s_t = pdf["s_t"].to_numpy(dtype=np.float64)
@@ -536,6 +581,12 @@ def _bmw_group_fn(k: int, raw_cfg: tuple | None = None, _stats: dict | None = No
                     w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[i]
                 else:
                     d, w = decode_block(docs_col[i], ws_col[i])
+                if tomb is not None and d.size:
+                    # deleted docs are masked BEFORE top-k selection:
+                    # block bounds still include them (sound upper
+                    # bounds, just looser until compact())
+                    m = _not_tombstoned(d, tomb)
+                    d, w = d[m], w[m]
                 if n_groups > 1:
                     # subgroup ownership: this group scores ONLY its own
                     # doc shard (blocks of low-salt terms are replicated
@@ -649,6 +700,14 @@ def search_bmw(
     # n_salts > n_groups — both must be powers of two. n_salts is by
     # construction; round the cap down to one (ADVICE r2).
     subgroup_cap = 1 << (subgroup_cap.bit_length() - 1)
+    if (
+        index.manifest.cfg.get("storage", "weights") == "raw"
+        and index.manifest.cfg.get("weighting", "bm25") == "tfidf"
+    ):
+        # tfidf+raw: block bounds would need per-block ‖d‖ minima,
+        # which go stale whenever idf moves (every refresh) — the
+        # sound path is bulk decode-score + docnorm join
+        return search_distributed(index, queries, k, _rows=_rows)
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
@@ -671,6 +730,7 @@ def search_bmw(
         raw_cfg = (
             float(cfgm["k1"]), float(cfgm["b"]),
             float(cfgm["epsilon"]), float(index.manifest.avgdl),
+            "bm25",  # tfidf+raw never reaches this path (routed above)
         )
         qt = index.spark.createDataFrame(
             [
@@ -686,7 +746,7 @@ def search_bmw(
             ],
             "term_id long, query_id long, qtf double, n_groups int, s_t double",
         )
-        k1, b, eps, avgdl = raw_cfg
+        k1, b, eps, avgdl = raw_cfg[:4]
 
         def w1(tf_col, dl_col):
             # SAME evaluation tree as codec.bm25_w1 (monotone in tf ↑,
@@ -764,7 +824,18 @@ def search_bmw(
     scored = (
         expanded.select(*group_cols)
         .groupBy("query_id", "grp")
-        .applyInPandas(_bmw_group_fn(k, raw_cfg), _SCORE_SCHEMA)
+        .applyInPandas(
+            _bmw_group_fn(
+                k,
+                raw_cfg,
+                tomb_bc=(
+                    index._tombstone_bc()
+                    if hasattr(index, "_tombstone_bc")
+                    else None
+                ),
+            ),
+            _SCORE_SCHEMA,
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -795,6 +866,13 @@ def search_auto(
     # pre-jobs (round-1 VERDICT "what's wrong" #4).
     if not getattr(index, "salt_layout_ok", True):
         return search_distributed(index, queries, k)
+    if (
+        index.manifest.cfg.get("storage", "weights") == "raw"
+        and index.manifest.cfg.get("weighting", "bm25") == "tfidf"
+    ):
+        # tfidf+raw has one sound path (see search_bmw routing): no
+        # point splitting the batch just to union two identical modes
+        return search_distributed(index, queries, k, _rows=_rows)
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:
         return _empty_result(index.spark)
@@ -806,6 +884,9 @@ def search_auto(
     heavy_ids = {q for q, v in vol.items() if v > heavy_postings_threshold}
 
     def side(keep_heavy: bool) -> list:
+        # Copy ALL row fields: the raw-storage branches of search_bmw /
+        # search_distributed read r["idf"] and r["term_norm"] to form
+        # the query-time weights, so a per-side row must carry them.
         out = []
         for r in rows:
             qs = [
@@ -814,15 +895,9 @@ def search_auto(
                 if (int(q["query_id"]) in heavy_ids) == keep_heavy
             ]
             if qs:
-                out.append(
-                    {
-                        "term_id": r["term_id"],
-                        "n_salts": r["n_salts"],
-                        "df": r["df"],
-                        "buckets": r["buckets"],
-                        "qs": qs,
-                    }
-                )
+                d = r.asDict() if hasattr(r, "asDict") else dict(r)
+                d["qs"] = qs
+                out.append(d)
         return out
 
     if not heavy_ids:

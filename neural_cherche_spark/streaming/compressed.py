@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 from neural_cherche_spark.index.build import BM25Config, term_frequencies
 
 
+# explicit batch-table schemas: an empty micro-batch (legal under
+# at-least-once foreachBatch) writes a parquet dir with NO data files;
+# schema inference fails on any read that targets such a dir directly,
+# so every per-batch read pins the schema instead.
+TF_BATCH_SCHEMA = "doc_id bigint, term string, tf bigint, dl bigint"
+DOCS_BATCH_SCHEMA = "doc_id bigint, url string, dl bigint"
+
+
 class CompressedIndexStream:
     """Accumulates tokenized batches under ``state_dir``; materializes
     a compressed BM25Index on demand. Batches must carry unique doc
@@ -137,6 +145,88 @@ class CompressedIndexStream:
         self._save_meta(meta)
         return self
 
+    def delete_batch(
+        self, doc_ids, epoch_id: int | None = None
+    ) -> "CompressedIndexStream":
+        """Record document DELETIONS (reference has no delete at all —
+        its CSR accumulator only grows). Deletes are logical until the
+        next ``materialize``: collection stats subtract exactly via the
+        ledger (each deleted doc's dl was captured from the doc
+        registry), per-term stats exclude deleted docs' tf, and raw
+        postings segments stay untouched bytes — queries mask the
+        tombstoned ids; ``compact()`` drops them physically.
+
+        ``doc_ids``: a DataFrame with a ``doc_id`` column or an
+        iterable of ints. Unknown or already-deleted ids fail loudly
+        (a silent miss would desync the ledger)."""
+        meta = self._meta()
+        if epoch_id is not None and str(epoch_id) in meta.get(
+            "applied_delete_epochs", {}
+        ):
+            return self
+        batch_id = meta.get("n_delete_batches", 0)
+        spark = self.spark
+        if isinstance(doc_ids, DataFrame):
+            ids = doc_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ).distinct()
+        else:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            ).distinct()
+
+        reg = spark.read.schema(DOCS_BATCH_SCHEMA).parquet(
+            self._p("docs")
+        ).select("doc_id", "dl")
+        hit = ids.join(reg, "doc_id")
+        prior = meta.get("n_delete_batches", 0)
+        if prior:
+            hit = hit.join(
+                spark.read.schema("doc_id bigint, dl bigint").parquet(
+                    self._p("deletes")
+                ).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        hit.write.mode("overwrite").parquet(
+            self._p(f"deletes/batch={batch_id}")
+        )
+        row = (
+            spark.read.schema("doc_id bigint, dl bigint")
+            .parquet(self._p(f"deletes/batch={batch_id}"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("nd"),
+                F.sum("dl").alias("s"),
+            )
+            .collect()[0]
+        )
+        n_req = ids.count()
+        if int(row["n"]) != n_req:
+            # roll the write back before failing: the ledger was not
+            # updated, so a retry after fixing the ids is clean
+            import shutil
+
+            shutil.rmtree(
+                self._p(f"deletes/batch={batch_id}"), ignore_errors=True
+            )
+            raise ValueError(
+                f"delete_batch: {n_req - int(row['n'])} of {n_req} ids "
+                "are unknown or already deleted"
+            )
+        applied = meta.setdefault("applied_delete_epochs", {})
+        if epoch_id is not None:
+            applied[str(epoch_id)] = batch_id
+        # ledger counts only dl>0 docs (empty docs never entered
+        # n_docs/avgdl), but sum_dl uses the captured dl exactly
+        meta.setdefault("deletes", {})[str(batch_id)] = {
+            "n_docs": int(row["nd"] or 0),
+            "sum_dl": int(row["s"] or 0),
+        }
+        meta["n_delete_batches"] = batch_id + 1
+        self._save_meta(meta)
+        return self
+
     def materialize(
         self,
         index_dir: str,
@@ -146,6 +236,8 @@ class CompressedIndexStream:
         resume: bool = True,
         weighting: str = "bm25",
         storage: str = "weights",
+        freeze_stats: bool = False,
+        max_segments: int | None = None,
     ):
         """Build (or refresh) the compressed index from the accumulated
         state.
@@ -165,12 +257,33 @@ class CompressedIndexStream:
         results equal a fresh raw build over the union corpus. This is
         the scalable analogue of the reference's O(new batch) ``add()``
         (bm25.py:146-197), without its stale-statistics quirk.
+
+        ``freeze_stats=True`` (raw only) makes the refresh FULLY
+        O(new batch): existing terms keep their previous idf/term_norm
+        (and, for tfidf, existing docs their norms) — the literal
+        trade the reference's ``add()`` makes (bm25.py:185-196),
+        offered as an opt-in. Scores drift until the next exact
+        refresh or ``compact()`` (both recompute stats globally and
+        clear ``manifest.stats_frozen``); n_docs/avgdl stay exact
+        (additive ledger, free).
+
+        ``max_segments=N`` (raw only) auto-compacts: when a refresh
+        leaves more than N segments, the index is re-encoded into a
+        single seg=0 from the accumulated tf (tokenization never
+        re-runs). Bounds stay sound at any segment count — compaction
+        is a decode-overhead/write-amplification trade, so pick N by
+        refresh cadence (e.g. 8–32).
         """
         if storage == "raw":
-            if weighting != "bm25":
-                raise ValueError("storage='raw' supports only bm25 weighting")
+            if weighting not in ("bm25", "tfidf"):
+                raise ValueError(f"unknown weighting {weighting!r}")
             return self._materialize_raw_delta(
-                index_dir, n_buckets, block_size, salt_every, resume
+                index_dir, n_buckets, block_size, salt_every, resume,
+                weighting, freeze_stats, max_segments,
+            )
+        if freeze_stats or max_segments is not None:
+            raise ValueError(
+                "freeze_stats/max_segments apply to storage='raw' only"
             )
         from neural_cherche_spark.catalog import IndexCatalog
         from neural_cherche_spark.index.build import doc_lengths
@@ -185,15 +298,29 @@ class CompressedIndexStream:
             )
         cat = IndexCatalog(index_dir)
 
-        tf_acc = spark.read.parquet(self._p("tf")).select(
+        tf_acc = spark.read.schema(TF_BATCH_SCHEMA).parquet(self._p("tf")).select(
             "doc_id", "term", "tf"
         )
+        # deletes: a full (weights) rebuild drops deleted docs
+        # PHYSICALLY — tf and docmap are filtered before any stage
+        n_del_batches = self._meta().get("n_delete_batches", 0)
+        del_ids = None
+        if n_del_batches:
+            del_ids = (
+                spark.read.schema("doc_id bigint, dl bigint")
+                .parquet(self._p("deletes"))
+                .select("doc_id")
+            )
+            tf_acc = tf_acc.join(del_ids, "doc_id", "left_anti")
         # content fingerprint over the ACCUMULATED tf (cheap: already
-        # tokenized) — any batch addition/replacement invalidates stages
+        # tokenized) — any batch addition/replacement invalidates stages.
+        # The delete-batch count is part of the config signature so a
+        # new delete invalidates resumed stages.
         cfg_sig = (
             f"k1={cfg.k1},b={cfg.b},eps={cfg.epsilon},"
             f"n={cfg.n_min}-{cfg.n_max},"
-            f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting}"
+            f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting},"
+            f"del={n_del_batches}"
         )
         row = tf_acc.agg(
             F.count(F.lit(1)).alias("n"),
@@ -210,7 +337,7 @@ class CompressedIndexStream:
         from neural_cherche_spark.index.builder import MAX_DOC_ID
 
         drow = (
-            spark.read.parquet(self._p("docs"))
+            spark.read.schema(DOCS_BATCH_SCHEMA).parquet(self._p("docs"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct("doc_id").alias("nd"),
@@ -243,10 +370,13 @@ class CompressedIndexStream:
 
         t0 = time.perf_counter()
         if not cat.stage_done(manifest, "docmap", fingerprint):
+            reg = spark.read.schema(DOCS_BATCH_SCHEMA).parquet(
+                self._p("docs")
+            ).select("doc_id", "url")
+            if del_ids is not None:
+                reg = reg.join(del_ids, "doc_id", "left_anti")
             (
-                spark.read.parquet(self._p("docs"))
-                .select("doc_id", "url")
-                .join(doc_lengths(tf), "doc_id", "left")
+                reg.join(doc_lengths(tf), "doc_id", "left")
                 .na.fill({"dl": 0})
                 .write.mode("overwrite")
                 .parquet(cat.path("docmap"))
@@ -264,6 +394,7 @@ class CompressedIndexStream:
         n_buckets: int | None = None,
         block_size: int = 128,
         salt_every: int = 50_000,
+        weighting: str = "bm25",
     ):
         """Merge all segments of a raw index back into a single seg=0:
         a full re-encode FROM THE ACCUMULATED TF (tokenization — the
@@ -279,6 +410,7 @@ class CompressedIndexStream:
             salt_every=salt_every,
             resume=False,
             storage="raw",
+            weighting=weighting,
         )
 
     def _materialize_raw_delta(
@@ -288,6 +420,9 @@ class CompressedIndexStream:
         block_size: int,
         salt_every: int,
         resume: bool,
+        weighting: str = "bm25",
+        freeze_stats: bool = False,
+        max_segments: int | None = None,
     ):
         """O(new batch) refresh of a segmented raw-storage index; see
         :meth:`materialize`. Crash-safe: all segment writes are
@@ -320,7 +455,7 @@ class CompressedIndexStream:
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,
             "n_min": cfg.n_min, "n_max": cfg.n_max,
             "block_size": block_size, "salt_every": salt_every,
-            "weighting": "bm25", "storage": "raw",
+            "weighting": weighting, "storage": "raw",
         }
         manifest = cat.load_manifest() if resume else None
         prev_ok = (
@@ -329,6 +464,20 @@ class CompressedIndexStream:
             and manifest.n_buckets == n_buckets
             and manifest.segments
         )
+        if prev_ok and any("batches" not in s for s in manifest.segments):
+            # A segment without batch provenance was not produced by this
+            # stream (e.g. build_index's raw seg=0 over a different
+            # corpus). Appending stream deltas on top would rebuild the
+            # termdict from stream tf only — base-corpus terms would
+            # vanish and n_docs/avgdl would cover the stream alone.
+            # Refuse rather than silently overwrite a foreign index.
+            raise ValueError(
+                f"index at {index_dir!r} has segments without batch "
+                "provenance (not produced by this stream's materialize) "
+                "— delta refresh cannot resume it; pass a fresh "
+                "index_dir, or resume=False to rebuild it from the "
+                "stream's batches (destroys the existing index)"
+            )
         if prev_ok:
             done = {
                 b for s in manifest.segments for b in s.get("batches", [])
@@ -342,14 +491,20 @@ class CompressedIndexStream:
                 if d.startswith("termdict"):
                     shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
         new_batches = [b for b in range(n_batches) if b not in done]
-        if prev_ok and not new_batches:
+        n_del_batches = meta.get("n_delete_batches", 0)
+        deletes_current = (
+            prev_ok
+            and getattr(manifest, "applied_delete_batches", 0)
+            == n_del_batches
+        )
+        if prev_ok and not new_batches and deletes_current:
             return BM25Index(spark, index_dir)
 
         walls: dict[str, float] = {}
         t0 = time.perf_counter()
         # id validation over the (narrow) doc registry — one pass
         drow = (
-            spark.read.parquet(self._p("docs"))
+            spark.read.schema(DOCS_BATCH_SCHEMA).parquet(self._p("docs"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct("doc_id").alias("nd"),
@@ -377,9 +532,24 @@ class CompressedIndexStream:
                 "state predates the dl-carrying batch format — rebuild the "
                 "stream state or use storage='weights'"
             )
-        n_docs = sum(v["n_docs"] for v in ledger.values())
-        sum_dl = sum(v["sum_dl"] for v in ledger.values())
+        del_ledger = meta.get("deletes", {})
+        n_docs = sum(v["n_docs"] for v in ledger.values()) - sum(
+            v["n_docs"] for v in del_ledger.values()
+        )
+        sum_dl = sum(v["sum_dl"] for v in ledger.values()) - sum(
+            v["sum_dl"] for v in del_ledger.values()
+        )
         avgdl = sum_dl / n_docs if n_docs else 0.0
+        # tombstones: deleted docs' tf rows are excluded from every
+        # statistic below (exact), while their postings stay untouched
+        # bytes in old segments — the query paths mask them
+        tomb = None
+        if n_del_batches:
+            tomb = (
+                spark.read.schema("doc_id bigint, dl bigint")
+                .parquet(self._p("deletes"))
+                .select("doc_id")
+            )
         walls["validate"] = time.perf_counter() - t0
 
         # ---- termdict: per-term stats over the accumulated tf --------------
@@ -388,74 +558,113 @@ class CompressedIndexStream:
         # agg over the already-tokenized tf (n_terms-sized shuffle) —
         # postings are never read, re-shuffled, or re-encoded.
         t0 = time.perf_counter()
-        tf_acc = spark.read.parquet(self._p("tf"))
-        w1 = tf_acc.withColumn(
-            "w1",
-            F.col("tf")
-            * (cfg.k1 + 1.0)
-            / (
+        tf_acc = spark.read.schema(TF_BATCH_SCHEMA).parquet(self._p("tf"))
+        tf_new = spark.read.schema(TF_BATCH_SCHEMA).parquet(
+            *[self._p(f"tf/batch={b}") for b in new_batches]
+        )
+        # freeze_stats: the per-term agg runs over the NEW batches only
+        # — existing terms keep their previous idf/term_norm verbatim
+        # (the reference add()'s stale-stats trade, opt-in); the refresh
+        # touches no byte and no row proportional to the corpus.
+        frozen = bool(freeze_stats and prev_ok)
+        stats_src = tf_new if frozen else tf_acc
+        if tomb is not None:
+            stats_src = stats_src.join(tomb, "doc_id", "left_anti")
+        n_salts_col = F.least(
+            F.lit(1024),
+            F.pow(
+                F.lit(2.0),
+                F.ceil(
+                    F.log2(
+                        F.greatest(
+                            F.lit(1.0),
+                            F.ceil(F.col("df") / F.lit(salt_every)),
+                        )
+                    )
+                ),
+            ).cast("int"),
+        )
+        if weighting == "bm25":
+            w1 = stats_src.withColumn(
+                "w1",
                 F.col("tf")
-                + cfg.k1
-                * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                * (cfg.k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + cfg.k1
+                    * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                )
+                + F.lit(cfg.epsilon),
             )
-            + F.lit(cfg.epsilon),
-        )
-        ts = (
-            w1.groupBy("term")
-            .agg(
-                F.sum("tf").alias("tf_total"),
-                F.count(F.lit(1)).alias("df"),
-                F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+            ts = (
+                w1.groupBy("term")
+                .agg(
+                    F.sum("tf").alias("tf_total"),
+                    F.count(F.lit(1)).alias("df"),
+                    F.sum(F.col("w1") * F.col("w1")).alias("sw1sq"),
+                )
+                .withColumn(
+                    "idf",
+                    F.log(
+                        (F.lit(n_docs) - F.col("tf_total") + 0.5)
+                        / (F.col("tf_total") + 0.5)
+                        + 1.0
+                    ),
+                )
+                .withColumn(
+                    "term_norm",
+                    F.when(F.col("idf") == 0, F.lit(1.0)).otherwise(
+                        F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))
+                    ),
+                )
+                .withColumn("n_salts", n_salts_col)
+                .drop("sw1sq")
             )
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.lit(n_docs) - F.col("tf_total") + 0.5)
-                    / (F.col("tf_total") + 0.5)
-                    + 1.0
-                ),
+        else:
+            # tfidf: smoothed idf ln((1+N)/(1+df)) + 1; per-DOC norms
+            # handled in the docnorm stage below (term_norm ≡ 1.0 —
+            # same convention as build_index's tfidf termdict)
+            ts = (
+                stats_src.groupBy("term")
+                .agg(
+                    F.sum("tf").alias("tf_total"),
+                    F.count(F.lit(1)).alias("df"),
+                )
+                .withColumn(
+                    "idf",
+                    F.log((1.0 + F.lit(n_docs)) / (1.0 + F.col("df")))
+                    + 1.0,
+                )
+                .withColumn("term_norm", F.lit(1.0))
+                .withColumn("n_salts", n_salts_col)
             )
-            .withColumn(
-                "term_norm",
-                F.when(F.col("idf") == 0, F.lit(1.0)).otherwise(
-                    F.abs(F.col("idf")) * F.sqrt(F.col("sw1sq"))
-                ),
-            )
-            .withColumn(
-                "n_salts",
-                F.least(
-                    F.lit(1024),
-                    F.pow(
-                        F.lit(2.0),
-                        F.ceil(
-                            F.log2(
-                                F.greatest(
-                                    F.lit(1.0),
-                                    F.ceil(F.col("df") / F.lit(salt_every)),
-                                )
-                            )
-                        ),
-                    ).cast("int"),
-                ),
-            )
-            .drop("sw1sq")
-        )
         # STABLE term ids: existing terms keep theirs (old segments
         # reference them on disk); new terms extend the id space
         if prev_ok:
-            old_ids = spark.read.parquet(
-                cat.path(manifest.termdict_path)
-            ).select("term", "term_id")
-            joined = ts.join(old_ids, "term", "left")
-            known = joined.filter(F.col("term_id").isNotNull())
-            fresh = joined.filter(F.col("term_id").isNull()).drop("term_id")
+            old_td = spark.read.parquet(cat.path(manifest.termdict_path))
+            if frozen:
+                # old rows verbatim; only genuinely-new terms appended
+                fresh = ts.join(
+                    old_td.select("term"), "term", "left_anti"
+                )
+            else:
+                joined = ts.join(
+                    old_td.select("term", "term_id"), "term", "left"
+                )
+                known = joined.filter(F.col("term_id").isNotNull())
+                fresh = joined.filter(
+                    F.col("term_id").isNull()
+                ).drop("term_id")
             new_ids = _zip_with_index(
                 fresh.select("term"), "term", "__nid"
             )
             fresh_ids = fresh.join(new_ids, "term").withColumn(
                 "term_id", F.col("__nid") + F.lit(int(manifest.n_terms))
             ).drop("__nid")
-            termdict = known.unionByName(fresh_ids)
+            base = old_td if frozen else known
+            termdict = base.unionByName(
+                fresh_ids.select(*base.columns)
+            )
             rev = int(manifest.termdict_path.split("_r")[-1]) + 1 if (
                 "_r" in manifest.termdict_path
             ) else 1
@@ -468,16 +677,64 @@ class CompressedIndexStream:
         n_terms = termdict.count()
         walls["termdict"] = time.perf_counter() - t0
 
+        # ---- docnorm (tfidf only): per-doc L2 norms, full rewrite ----------
+        # idf moved ⇒ every doc's norm moved, so this table is
+        # recomputed whole each refresh — but it is O(n_docs) SCALARS
+        # derived from the accumulated tf (one term-keyed join + one
+        # doc-keyed agg); the postings segments stay untouched bytes.
+        # Same revision-dir discipline as the termdict.
+        docnorm_path = ""
+        if weighting == "tfidf":
+            t0 = time.perf_counter()
+            docnorm_path = "docnorm" if rev == 0 else f"docnorm_r{rev}"
+            norm_src = tf_new if frozen else tf_acc
+            if tomb is not None:
+                norm_src = norm_src.join(tomb, "doc_id", "left_anti")
+            new_norms = (
+                norm_src
+                .join(termdict.select("term", "idf"), "term")
+                .withColumn("wr", F.col("tf") * F.col("idf"))
+                .groupBy("doc_id")
+                .agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("dnorm"))
+            )
+            if frozen:
+                # frozen: old docs keep their previous norms verbatim
+                # (stale idf trade); new docs' norms are computed from
+                # the new batches only — doc sets are disjoint
+                prev_dn = getattr(manifest, "docnorm_path", "") or ""
+                if not prev_dn:
+                    raise ValueError(
+                        "freeze_stats refresh needs a prior docnorm "
+                        "table (index was not built with tfidf raw)"
+                    )
+                new_norms = spark.read.parquet(
+                    cat.path(prev_dn)
+                ).unionByName(new_norms)
+            new_norms.write.mode("overwrite").parquet(
+                cat.path(docnorm_path)
+            )
+            walls["docnorm"] = time.perf_counter() - t0
+
         # ---- new segment: encode ONLY the new batches ----------------------
         t0 = time.perf_counter()
         seg_id = (
             max(s["seg"] for s in manifest.segments) + 1 if prev_ok else 0
         )
-        tf_new = spark.read.parquet(
-            *[self._p(f"tf/batch={b}") for b in new_batches]
+        # an all-empty new-batch set (replayed/empty micro-batches) has
+        # nothing to encode: record the batches as covered and skip the
+        # segment writes — an empty parquet dir has no data files and
+        # would poison later whole-dir reads
+        seg_has_postings = (
+            sum(ledger[str(b)]["n_docs"] for b in new_batches) > 0
         )
+        enc_src = tf_new
+        if tomb is not None:
+            # docs added-then-deleted before this refresh never reach a
+            # segment; docs deleted from OLD segments stay as masked
+            # tombstones until compact()
+            enc_src = enc_src.join(tomb, "doc_id", "left_anti")
         w = (
-            tf_new.join(
+            enc_src.join(
                 F.broadcast(
                     termdict.select("term", "term_id", "n_salts")
                 ),
@@ -508,49 +765,54 @@ class CompressedIndexStream:
                 "bucket", "term_id", "salt", "doc_id", "tf", "dl", "n_salts"
             )
         )
-        (
-            salted.repartition(n_buckets, "bucket")
-            .groupBy("bucket")
-            .applyInPandas(_encode_bucket_raw_fn(block_size), POSTINGS_RAW_SCHEMA)
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(cat.path("postings"), f"seg={seg_id}"))
-        )
+        if seg_has_postings:
+            (
+                salted.repartition(n_buckets, "bucket")
+                .groupBy("bucket")
+                .applyInPandas(
+                    _encode_bucket_raw_fn(block_size), POSTINGS_RAW_SCHEMA
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(cat.path("postings"), f"seg={seg_id}"))
+            )
         walls["postings"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        seg_postings = spark.read.parquet(
-            os.path.join(cat.path("postings"), f"seg={seg_id}")
-        )
-        (
-            seg_postings.groupBy("bucket")
-            .agg(
-                F.countDistinct("term_id").alias("n_terms"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum("n_bytes").alias("bytes"),
-                F.max("enc_ms").alias("enc_ms"),
-                F.lit(f"batches={new_batches}").alias("input_fingerprint"),
+        seg_n_postings = 0
+        if seg_has_postings:
+            seg_postings = spark.read.parquet(
+                os.path.join(cat.path("postings"), f"seg={seg_id}")
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(cat.path("lineage"), f"seg={seg_id}"))
-        )
-        (
-            spark.read.parquet(
-                *[self._p(f"docs/batch={b}") for b in new_batches]
+            (
+                seg_postings.groupBy("bucket")
+                .agg(
+                    F.countDistinct("term_id").alias("n_terms"),
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum("n").alias("n_postings"),
+                    F.sum("n_bytes").alias("bytes"),
+                    F.max("enc_ms").alias("enc_ms"),
+                    F.lit(f"batches={new_batches}").alias("input_fingerprint"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(cat.path("lineage"), f"seg={seg_id}"))
             )
-            .select("doc_id", "url", "dl")
-            .write.mode("overwrite")
-            .parquet(os.path.join(cat.path("docmap"), f"seg={seg_id}"))
-        )
-        seg_n_postings = int(
-            spark.read.parquet(
-                os.path.join(cat.path("lineage"), f"seg={seg_id}")
+            (
+                spark.read.schema(DOCS_BATCH_SCHEMA).parquet(
+                    *[self._p(f"docs/batch={b}") for b in new_batches]
+                )
+                .select("doc_id", "url", "dl")
+                .write.mode("overwrite")
+                .parquet(os.path.join(cat.path("docmap"), f"seg={seg_id}"))
             )
-            .agg(F.sum("n_postings"))
-            .collect()[0][0]
-            or 0
-        )
+            seg_n_postings = int(
+                spark.read.parquet(
+                    os.path.join(cat.path("lineage"), f"seg={seg_id}")
+                )
+                .agg(F.sum("n_postings"))
+                .collect()[0][0]
+                or 0
+            )
         walls["lineage"] = time.perf_counter() - t0
 
         segments = (list(manifest.segments) if prev_ok else []) + [
@@ -560,6 +822,20 @@ class CompressedIndexStream:
                 "n_postings": seg_n_postings,
             }
         ]
+
+        # ---- tombstones: deleted ids whose postings sit in RETAINED
+        # segments. A full re-encode (no prior segments kept) already
+        # excluded them physically, so it publishes no tombstones —
+        # that is also what makes compact() the delete GC.
+        tombstones_path = ""
+        if prev_ok and tomb is not None:
+            rev_t = rev  # same revision counter as the termdict
+            tombstones_path = (
+                "tombstones" if rev_t == 0 else f"tombstones_r{rev_t}"
+            )
+            tomb.write.mode("overwrite").parquet(
+                cat.path(tombstones_path)
+            )
         m = Manifest(
             cfg=cfg_dict,
             input_fingerprint=f"batches:{n_batches}",
@@ -571,11 +847,25 @@ class CompressedIndexStream:
             stages={
                 s: {"done": True, "wall_s": round(walls.get(s, 0.0), 3)}
                 for s in ("validate", "termdict", "postings", "lineage")
+                + (("docnorm",) if docnorm_path else ())
             },
             segments=segments,
             termdict_path=termdict_path,
+            docnorm_path=docnorm_path,
+            stats_frozen=frozen,
+            tombstones_path=tombstones_path,
+            applied_delete_batches=n_del_batches,
         )
         cat.save_manifest(m)
+        if max_segments is not None and len(segments) > max_segments:
+            # auto-compaction: fold the accumulated segments back into
+            # a single exact seg=0 (also re-exactifies frozen stats).
+            # The manifest above was already the committed refresh, so
+            # a crash mid-compact leaves a valid (just fragmented)
+            # index.
+            return self.compact(
+                index_dir, n_buckets, block_size, salt_every, weighting
+            )
         return BM25Index(spark, index_dir)
 
 

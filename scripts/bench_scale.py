@@ -203,6 +203,9 @@ def orchestrate(n_docs: int, n_queries: int) -> None:
             results[cpus] = json.load(f)
 
     bw = _host_bandwidth_probe()
+    sys.path.insert(0, REPO)
+    from neural_cherche_spark.query.bmw import _PAIRS_PER_TASK
+
     r8, r32 = results[args.n_low], results[args.n_low * 4]
     speedup = {
         "build": r32["build_docs_per_s"] / r8["build_docs_per_s"],
@@ -258,7 +261,8 @@ ENGINE + Spark overheads, not a host ceiling.
 
 Round-3 design notes reflected in these numbers:
 * The bulk (distributed) decode path sizes its task count by matched
-  WORK (Σ df·qs expanded pairs / 2M per task), not by executor slots —
+  WORK (Σ df·qs expanded pairs / {_PAIRS_PER_TASK // 1000}k per
+  task), not by executor slots —
   as on a real cluster, tasks follow data splits. Partial-aggregate
   duplication (the map-side-combine tradeoff) is therefore identical
   at N and 4N: the wider fleet runs the same tasks wider. Round 2's

@@ -83,14 +83,6 @@ def test_raw_subgroup_cap_stays_exact(raw_index, queries, exact_topk):
         assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
 
 
-def test_raw_rejects_tfidf(spark, corpus, tmp_path):
-    with pytest.raises(ValueError, match="bm25"):
-        build_index(
-            spark, corpus, str(tmp_path / "x"), id_col="doc_id",
-            weighting="tfidf", storage="raw",
-        )
-
-
 def test_raw_serving_path_matches_exact(spark, raw_index, queries, exact_topk):
     """The driver-side serving path over a raw index computes the same
     query-time weights (s_t carried in the serving map)."""
@@ -104,3 +96,29 @@ def test_raw_serving_path_matches_exact(spark, raw_index, queries, exact_topk):
     for qid in exact_topk:
         assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
     raw_index._serving = None
+
+
+def test_raw_auto_mixed_routing_matches_exact(raw_index, queries, exact_topk):
+    """search_auto with a threshold that splits the batch into heavy AND
+    selective sides must stay exact on a raw index: the side() carve-out
+    has to carry idf/term_norm through to the raw query-time weights
+    (round-3 ADVICE high: KeyError('idf') when both sides fired)."""
+    from neural_cherche_spark.query.bmw import _matched_terms, search_auto
+
+    rows = _matched_terms(raw_index, queries)
+    vol: dict[int, int] = {}
+    for r in rows:
+        for q in r["qs"]:
+            qid = int(q["query_id"])
+            vol[qid] = vol.get(qid, 0) + int(r["df"])
+    vols = sorted(vol.values())
+    thr = vols[len(vols) // 2]  # median ⇒ both sides non-empty
+    heavy = {q for q, v in vol.items() if v > thr}
+    assert heavy and len(heavy) < len(vol), "fixture must mix-route"
+
+    got = _collect_topk(
+        search_auto(raw_index, queries, k=10, heavy_postings_threshold=thr)
+    )
+    assert set(got) == set(exact_topk)
+    for qid in exact_topk:
+        assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)

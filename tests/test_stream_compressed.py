@@ -204,3 +204,23 @@ def test_compact_merges_segments(spark, corpus, tmp_path):
     assert set(got) == set(want)
     for qid in want:
         assert_rank_identical(got[qid], want[qid], rtol=1e-9)
+
+
+def test_delta_refuses_foreign_raw_segment(spark, corpus, tmp_path):
+    """A raw index whose seg=0 came from build_index (no batch
+    provenance) must NOT be silently delta-refreshed: the stream would
+    rebuild the termdict from its own tf only, orphaning every
+    base-corpus-only term's postings (round-3 ADVICE medium)."""
+    idx_dir = str(tmp_path / "foreign_raw")
+    base = corpus.filter(F.col("doc_id") < 150)
+    build_index(
+        spark, base, idx_dir, id_col="doc_id", n_buckets=8,
+        salt_every=50, storage="raw",
+    )
+
+    stream = CompressedIndexStream(spark, str(tmp_path / "state"))
+    stream.add_batch(corpus.filter(F.col("doc_id") >= 150), epoch_id=0)
+    with pytest.raises(ValueError, match="provenance"):
+        stream.materialize(
+            idx_dir, n_buckets=8, salt_every=50, storage="raw",
+        )
