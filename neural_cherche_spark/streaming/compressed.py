@@ -273,6 +273,12 @@ class CompressedIndexStream:
         re-runs). Bounds stay sound at any segment count — compaction
         is a decode-overhead/write-amplification trade, so pick N by
         refresh cadence (e.g. 8–32).
+
+        Deletions recorded via :meth:`delete_batch` are applied on
+        every materialize: statistics subtract exactly; with raw
+        storage the deleted docs' postings stay as query-masked
+        tombstones until ``compact()``; a weights rebuild drops them
+        physically.
         """
         if storage == "raw":
             if weighting not in ("bm25", "tfidf"):
@@ -401,7 +407,10 @@ class CompressedIndexStream:
         dominant build cost — never re-runs). Run occasionally when a
         high refresh cadence has produced many small segments (each
         (term, salt) run fragments per segment; bounds stay sound but
-        per-block decode overhead accretes). Equivalent to
+        per-block decode overhead accretes). Also the physical GC for
+        :meth:`delete_batch` tombstones (re-encode excludes them;
+        tombstones_path clears) and the re-exactifier for
+        ``freeze_stats`` refreshes. Equivalent to
         ``materialize(..., storage="raw", resume=False)``."""
         return self.materialize(
             index_dir,
