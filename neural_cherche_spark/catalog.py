@@ -56,6 +56,13 @@ class Manifest:
     # segmented (raw-storage) layout: one entry per postings/seg=K dir;
     # delta materialization appends entries without touching old ones
     segments: list = field(default_factory=list)
+    # monotonically increasing snapshot id; every save_manifest also
+    # writes manifest-{id}.json so DELTA refreshes leave a queryable
+    # history (segments are immutable and termdict/docnorm revisions
+    # are retained — Iceberg-style time travel). Rewrite operations
+    # (compact(), resume=False, storage='weights' rebuilds) replace
+    # the underlying dirs and therefore EXPIRE earlier snapshots.
+    snapshot_id: int = 0
     # current termdict snapshot table name — delta refreshes write a
     # NEW revision dir (termdict_r{K}) and flip this pointer atomically
     # with the manifest save (can't overwrite a parquet dir in place
@@ -96,18 +103,48 @@ class IndexCatalog:
     def manifest_path(self) -> str:
         return os.path.join(self.index_dir, "manifest.json")
 
-    def load_manifest(self) -> Manifest | None:
-        if not os.path.exists(self.manifest_path):
+    def load_manifest(self, snapshot: int | None = None) -> Manifest | None:
+        p = (
+            self.manifest_path
+            if snapshot is None
+            else os.path.join(self.index_dir, f"manifest-{snapshot:05d}.json")
+        )
+        if not os.path.exists(p):
+            if snapshot is not None:
+                raise FileNotFoundError(
+                    f"no snapshot {snapshot} at {self.index_dir} "
+                    f"(available: {self.snapshots()})"
+                )
             return None
-        with open(self.manifest_path) as f:
+        with open(p) as f:
             return Manifest(**json.load(f))
+
+    def snapshots(self) -> list[int]:
+        if not os.path.isdir(self.index_dir):
+            return []
+        out = []
+        for f in os.listdir(self.index_dir):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                out.append(int(f[len("manifest-"):-len(".json")]))
+        return sorted(out)
 
     def save_manifest(self, m: Manifest) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
         m.created_unix = m.created_unix or time.time()
+        prev = self.load_manifest()
+        m.snapshot_id = (prev.snapshot_id + 1) if prev is not None else 0
+        blob = json.dumps(asdict(m), indent=2)
+        # history copy first, then the atomic current-pointer flip
+        with open(
+            os.path.join(
+                self.index_dir, f"manifest-{m.snapshot_id:05d}.json"
+            ),
+            "w",
+        ) as f:
+            f.write(blob)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(asdict(m), f, indent=2)
+            f.write(blob)
         os.replace(tmp, self.manifest_path)
 
     def stage_done(self, m: Manifest | None, stage: str, fingerprint: str) -> bool:

@@ -705,14 +705,56 @@ def _finish_build(
 class BM25Index:
     """Handle over a built on-disk index."""
 
-    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot: int | None = None,
+    ) -> None:
+        """``snapshot``: open a PAST committed state (Iceberg-style
+        time travel). Delta refreshes only append segments and retain
+        termdict/docnorm/tombstone revisions, so every snapshot since
+        the last rewrite operation (compact / resume=False / weights
+        rebuild) is queryable; referenced dirs are validated so an
+        expired snapshot fails loudly instead of reading rewritten
+        data."""
         from neural_cherche_spark.catalog import SALT_LAYOUT_VERSION
 
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        self.manifest = self.cat.load_manifest()
+        self.manifest = self.cat.load_manifest(snapshot=snapshot)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest at {index_dir}")
+        if snapshot is not None:
+            missing = [
+                p
+                for p in (
+                    [
+                        os.path.join(
+                            "postings", f"seg={int(sg['seg'])}"
+                        )
+                        for sg in self.manifest.segments
+                    ]
+                    + [self.manifest.termdict_path]
+                    + (
+                        [self.manifest.docnorm_path]
+                        if getattr(self.manifest, "docnorm_path", "")
+                        else []
+                    )
+                    + (
+                        [self.manifest.tombstones_path]
+                        if getattr(self.manifest, "tombstones_path", "")
+                        else []
+                    )
+                )
+                if not os.path.exists(self.cat.path(p))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot} is expired — a rewrite "
+                    f"operation replaced {missing}; only snapshots "
+                    "since the last compact/rebuild are queryable"
+                )
         # pre-v2 indexes used a different salt function (and free-form
         # n_salts); the block-max subgroup path would silently drop
         # salted-term docs on them — search routes them to the
@@ -726,7 +768,22 @@ class BM25Index:
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path("postings"))
+        """Postings scan restricted to the segments COMMITTED by this
+        handle's manifest. A refresh that crashed after its segment
+        write but before the manifest save leaves an orphan seg=K dir;
+        segment writes are overwrite-idempotent so the retry heals it,
+        but until then a whole-dir read would score uncommitted docs
+        (absent from n_docs/avgdl) — the manifest is the snapshot, so
+        reads must follow it. The isin filter prunes on the seg=
+        partition column (no data read from orphans)."""
+        df = self.spark.read.parquet(self.cat.path("postings"))
+        return self._seg_filter(df)
+
+    def _seg_filter(self, df: DataFrame) -> DataFrame:
+        segs = [int(s["seg"]) for s in self.manifest.segments]
+        if not segs or "seg" not in df.columns:
+            return df
+        return df.filter(F.col("seg").isin(segs))
 
     @property
     def storage(self) -> str:
@@ -748,7 +805,9 @@ class BM25Index:
 
     @property
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path("docmap"))
+        return self._seg_filter(
+            self.spark.read.parquet(self.cat.path("docmap"))
+        )
 
     @property
     def docnorm(self) -> DataFrame:
@@ -791,7 +850,9 @@ class BM25Index:
 
     @property
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.path("lineage"))
+        return self._seg_filter(
+            self.spark.read.parquet(self.cat.path("lineage"))
+        )
 
     def search(self, queries: DataFrame, k: int = 10, mode: str = "bmw") -> DataFrame:
         from neural_cherche_spark.query.bmw import search_index

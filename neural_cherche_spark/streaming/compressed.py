@@ -493,12 +493,20 @@ class CompressedIndexStream:
             }
         else:
             done = set()
-            # stale/incompatible index state: clear before full re-encode
+            # stale/incompatible index state: clear before full
+            # re-encode — including revision dirs AND the manifest
+            # history (the rewrite expires every earlier snapshot;
+            # leaving their manifest-*.json would point time-travel
+            # reads at rewritten data — the BM25Index snapshot
+            # validator would refuse, but expiring here keeps
+            # `snapshots()` honest)
             for t in ("postings", "lineage", "docmap"):
                 shutil.rmtree(cat.path(t), ignore_errors=True)
             for d in list(os.listdir(index_dir)) if os.path.isdir(index_dir) else []:
-                if d.startswith("termdict"):
+                if d.startswith(("termdict", "docnorm", "tombstones")):
                     shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+                elif d.startswith("manifest-") and d.endswith(".json"):
+                    os.remove(os.path.join(index_dir, d))
         new_batches = [b for b in range(n_batches) if b not in done]
         n_del_batches = meta.get("n_delete_batches", 0)
         deletes_current = (
