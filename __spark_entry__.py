@@ -665,6 +665,49 @@ def _q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_novelty(_docs(spark, sf_dir), n=3)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup. The synthetic corpus has no
+    newlines, so the gate derives a line structure DETERMINISTICALLY
+    on both sides first (groups of 7 words become lines) — same
+    pattern as the pii_scrub gate's synthetic injection."""
+    from neural_cherche_spark.ops.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__w", F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    ).withColumn(
+        "text",
+        F.expr(
+            "array_join(transform("
+            "sequence(0, cast(ceil(size(__w)/7.0) as int) - 1), "
+            "g -> array_join(slice(__w, g*7+1, 7), ' ')), '\n')"
+        ),
+    ).drop("__w")
+    out = line_dedup(docs)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def _q_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: docs 0..19 play the held-out
+    benchmark (probes), the rest the training corpus; n=3 shingles so
+    the synthetic corpus yields a non-degenerate overlap set (the
+    production default is 8-gram)."""
+    from neural_cherche_spark.ops.dedup import cross_contamination
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return cross_contamination(corpus, probes, n=3).select(
+        "doc_id", "probe_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
 def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage rank step (SURVEY §3.3): MaxSim late interaction over
     token-embedding tables derived deterministically from the
@@ -935,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition_metrics,
         "pii_scrub": _q_pii_scrub,
         "shingle_novelty": _q_shingle_novelty,
+        "line_dedup": _q_line_dedup,
+        "cross_contamination": _q_cross_contamination,
         "colbert_maxsim": _q_colbert_maxsim,
         "colbert_retrieve": _q_colbert_retrieve,
         "splade_topk": _q_splade_topk,
@@ -1385,6 +1430,56 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t2, '\\+?\\d[\\d\\- ]{7,}\\d'))::BIGINT AS n_phones,
                    md5(regexp_replace(t2, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g')) AS clean_md5
             FROM e
+        """,
+        "line_dedup": rf"""
+            WITH {_DUCK_WORDS},
+            lines AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(
+                       list_slice(w, (i-1)*7 + 1, (i-1)*7 + 7), ' '
+                     ) AS line
+              FROM dwords,
+              LATERAL unnest(
+                range(1, CAST(ceil(len(w)/7.0) AS BIGINT) + 1)
+              ) AS u(i)
+            ),
+            kept AS (
+              SELECT doc_id, pos, line FROM (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (
+                         PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM lines
+              ) WHERE rn = 1
+            ),
+            stats AS (
+              SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+                   CAST(any_value(s.n_lines) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept k JOIN stats s USING (doc_id)
+            GROUP BY 1
+        """,
+        "cross_contamination": rf"""
+            WITH {_DUCK_WORDS},
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+              FROM dwords,
+              LATERAL unnest(
+                range(1, greatest(len(w) - 2, 0) + 1)
+              ) AS u(i)
+            ),
+            d AS (SELECT * FROM sh WHERE doc_id >= 20),
+            p AS (
+              SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 20
+            )
+            SELECT d.doc_id, p.probe_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d JOIN p USING (shingle)
+            GROUP BY 1, 2
         """,
         "shingle_novelty": f"""
             WITH {_DUCK_SHINGLES},

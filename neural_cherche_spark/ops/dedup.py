@@ -262,3 +262,101 @@ def shingle_novelty(
             "novelty", F.round(1.0 - F.col("shared_frac"), 6)
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """(doc_id, text, n_lines, n_kept) — corpus-wide LINE-level exact
+    deduplication, the C4 cleaning rule (Raffel et al. 2020 §2.2:
+    repeated boilerplate lines — navigation, cookie banners, license
+    footers — are removed wherever they re-occur): each distinct line
+    is kept only at its global FIRST occurrence (lowest doc_id, then
+    lowest line position) and dropped everywhere else; each document's
+    text is reassembled from its surviving lines in original order.
+    Lines shorter than ``min_len`` characters are kept verbatim (never
+    treated as duplicates — empty/whitespace lines are formatting).
+
+    Plan shape (the 10^12-doc version): posexplode lines → one
+    line-keyed agg taking min(struct(doc_id, pos)) per distinct line
+    (map-side combined) → equi-join back on the line key → doc-keyed
+    re-assembly via sort_array over (pos, line) structs. Two shuffles,
+    no window over the whole corpus, no all-pairs. Lines are grouped
+    by their exact content here (exactness + oracle parity); at 100 TB
+    group on xxhash64/128 of the line instead — same plan, narrower
+    shuffle keys.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "pos", "line"
+            ),
+        )
+    )
+    dedupable = lines.filter(F.length("line") >= min_len)
+    first = dedupable.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ")
+    )
+    kept = (
+        dedupable.join(first, "line")
+        .filter(
+            (F.col(f"first_occ.{id_col}") == F.col(id_col))
+            & (F.col("first_occ.pos") == F.col("pos"))
+        )
+        .select(id_col, "pos", "line")
+        .unionByName(
+            lines.filter(F.length("line") < min_len).select(
+                id_col, "pos", "line"
+            )
+        )
+    )
+    stats = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(pos, line))), s -> s.line)"),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(stats, id_col)
+        .select(id_col, text_col, "n_lines", "n_kept")
+    )
+
+
+def cross_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """(doc_id, probe_id, n_shared) — benchmark DECONTAMINATION
+    screen: for every (training doc, evaluation probe) pair that
+    shares at least one word ``n``-gram shingle, the count of shared
+    distinct shingles. The standard n-gram-overlap contamination test
+    (GPT-3 appx. C / PaLM-style 8-gram screens): any hit flags the doc
+    for removal from training data before evaluating on the probes.
+
+    Plan: both sides reduce to distinct (id, shingle); one shingle-
+    keyed equi-join (probe side is the small benchmark — broadcast)
+    then a pair-keyed count. Never all-pairs, never substring scans:
+    the shape that works when docs = 10^12 and probes = 10^5.
+    """
+    d = word_shingles(docs, n, text_col, id_col)
+    p = word_shingles(probes, n, text_col, probe_id_col).withColumnRenamed(
+        probe_id_col, "__probe"
+    )
+    return (
+        d.join(F.broadcast(p), "shingle")
+        .groupBy(id_col, "__probe")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumnRenamed("__probe", probe_id_col)
+    )

@@ -95,3 +95,49 @@ def test_repetition_metrics_large_doc_bounded(spark):
     # O(distinct·n) here is ~2.5e9 comparisons in one row (minutes);
     # the run-length plan does this in well under the bound
     assert wall < 30, f"top_word_frac scan took {wall:.1f}s — quadratic?"
+
+
+def test_line_dedup_handcomputed(spark):
+    from neural_cherche_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta\ncookie banner\ngamma"),
+            (1, "cookie banner\ndelta"),       # banner dup -> dropped
+            (2, "epsilon\ncookie banner\nalpha beta"),  # both dups drop
+            (3, ""),                            # empty doc: 1 empty line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[0]["text"] == "alpha beta\ncookie banner\ngamma"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (3, 3)
+    assert got[1]["text"] == "delta"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (2, 1)
+    assert got[2]["text"] == "epsilon"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+    # empty line is below min_len: kept verbatim, never deduped
+    assert got[3]["text"] == ""
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (1, 1)
+
+
+def test_cross_contamination_handcomputed(spark):
+    from neural_cherche_spark.ops.dedup import cross_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely different words here altogether now"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(0, "quick brown fox jumps"), (1, "lazy dog sleeps")],
+        "probe_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["probe_id"]): r["n_shared"]
+        for r in cross_contamination(corpus, probes, n=3).collect()
+    }
+    # probe 0 shares 'quick brown fox' + 'brown fox jumps' with doc 10
+    assert got == {(10, 0): 2}
