@@ -128,3 +128,57 @@ def test_raw_distributed_plan_single_python_stage(spark, corpus, tmp_path):
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "PushedFilters: [" in plan and "term_id" in plan
+
+
+def test_line_dedup_plan_no_python_no_cartesian(spark, corpus):
+    """line_dedup is pure JVM (posexplode + agg + equi-joins): no
+    Python stage, no cartesian/nested-loop join, and the line-keyed
+    first-occurrence agg is map-side combined."""
+    from neural_cherche_spark.ops.dedup import line_dedup
+
+    plan = _plan(line_dedup(corpus))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_cross_contamination_broadcasts_probe_side(spark, corpus):
+    """The benchmark/probe side is tiny and must broadcast — the
+    corpus shingles never shuffle for the join."""
+    from neural_cherche_spark.ops.dedup import cross_contamination
+
+    probes = corpus.limit(5).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    plan = _plan(cross_contamination(corpus, probes, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_raw_search_joins_candidates_not_postings(spark, corpus, tmp_path):
+    """tfidf+raw: the docnorm division joins the AGGREGATED candidate
+    set (post groupBy), never the decoded postings stream — the plan
+    must show the norm join above the score aggregation, with exactly
+    one Python (decode) stage below it."""
+    from neural_cherche_spark.index.builder import build_index
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "idx"), id_col="doc_id",
+        n_buckets=8, salt_every=50, weighting="tfidf", storage="raw",
+    )
+    queries = synth_queries(spark, 3, seed=4)
+    res = idx.search(queries, k=5, mode="bmw")  # routes to bulk path
+    plan = _plan(res)
+    # exactly one Python stage: the block decode mapInPandas
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") <= 1
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    # the docnorm join sits ABOVE the aggregation in the plan text
+    # (executed plans print top-down: join line appears before the
+    # final HashAggregate over (query_id, doc_id))
+    join_at = plan.find("SortMergeJoin")
+    if join_at < 0:
+        join_at = plan.find("BroadcastHashJoin")
+    agg_at = plan.find("HashAggregate")
+    assert join_at >= 0 and agg_at >= 0
