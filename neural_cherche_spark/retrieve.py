@@ -46,7 +46,17 @@ def _docs_df(
 
 
 class BM25:
-    """Distributed BM25 retriever with the reference's call shape."""
+    """Distributed BM25 retriever with the reference's call shape.
+
+    ``backend="reference"`` (default) reproduces the reference's
+    accumulation semantics exactly, INCLUDING its stale-statistics
+    add() quirks (golden-tested). ``backend="delta"`` keeps the same
+    call shape but runs on the segmented raw index with EXACT global
+    statistics at every add — the 10^12-doc maintenance path
+    (streaming/compressed.py): each add() tokenizes only the new
+    batch; __call__ delta-materializes (new segments only) and
+    answers via the auto-routed block-max engine.
+    """
 
     def __init__(
         self,
@@ -57,15 +67,32 @@ class BM25:
         b: float = 0.75,
         epsilon: float = 0.0,
         state_dir: str | None = None,
+        backend: str = "reference",
     ) -> None:
+        if backend not in ("reference", "delta"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.key = key
         self.on = [on] if isinstance(on, str) else list(on)
         self.spark = spark or SparkSession.active()
         self.cfg = BM25Config(k1=k1, b=b, epsilon=epsilon)
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="bm25_state_")
-        self._builder = IncrementalBM25Builder(
-            self.spark, self.state_dir, self.cfg, text_col="text", id_col="doc_key"
-        )
+        self.backend = backend
+        if backend == "delta":
+            from neural_cherche_spark.streaming.compressed import (
+                CompressedIndexStream,
+            )
+
+            self._stream = CompressedIndexStream(
+                self.spark, self.state_dir + "/stream", self.cfg,
+                text_col="text", id_col="doc_id", url_col="doc_key",
+            )
+            self._n_docs = 0
+            self._epoch = 0
+        else:
+            self._builder = IncrementalBM25Builder(
+                self.spark, self.state_dir, self.cfg,
+                text_col="text", id_col="doc_key",
+            )
         self._key_values: list = []  # original (possibly int) keys, in order
 
     # -- reference API ------------------------------------------------------
@@ -77,7 +104,22 @@ class BM25:
         return _docs_df(self.spark, documents, self.key, self.on)
 
     def add(self, documents_embeddings: DataFrame) -> "BM25":
-        self._builder.add_batch(documents_embeddings)
+        if self.backend == "delta":
+            from neural_cherche_spark.index.builder import _zip_with_index
+
+            counter: dict = {}
+            batch = _zip_with_index(
+                documents_embeddings, "doc_key", "__bid",
+                check_unique=True, counter=counter,
+            ).select(
+                (F.col("__bid") + F.lit(self._n_docs)).alias("doc_id"),
+                "doc_key", "text",
+            )
+            self._stream.add_batch(batch, epoch_id=self._epoch)
+            self._n_docs += int(counter["n"])
+            self._epoch += 1
+        else:
+            self._builder.add_batch(documents_embeddings)
         self._key_values.extend(getattr(self, "_pending_keys", []))
         self._pending_keys = []
         return self
@@ -93,7 +135,26 @@ class BM25:
     def __call__(
         self, queries_embeddings: DataFrame, k: int | None = None
     ) -> list[list[dict]]:
-        res = self._builder.retrieve(queries_embeddings, k=k)
+        if self.backend == "delta":
+            idx = self._stream.materialize(
+                self.state_dir + "/idx", storage="raw"
+            )
+            res = (
+                idx.search(
+                    queries_embeddings,
+                    k=k if k is not None else max(self._n_docs, 1),
+                    mode="auto",
+                )
+                .join(
+                    idx.docmap.select(
+                        "doc_id", F.col("url").alias("doc_key")
+                    ),
+                    "doc_id",
+                )
+                .select("query_id", "doc_key", "score", "rank")
+            )
+        else:
+            res = self._builder.retrieve(queries_embeddings, k=k)
         by_query: dict[int, list] = {}
         for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"])):
             by_query.setdefault(int(r["query_id"]), []).append(

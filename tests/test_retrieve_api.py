@@ -87,3 +87,53 @@ def test_tfidf_identical_doc_query_cosine_one(spark):
     out = r(q, k=3)
     assert out[0][0]["id"] == 0
     assert out[0][0]["similarity"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_bm25_delta_backend_exact_stats(spark, tmp_path):
+    """backend='delta': same call shape, EXACT statistics at every
+    add (no reference stale-idf quirk) — after two adds the results
+    must equal a single-shot build over the union corpus, and each
+    add tokenizes only its batch (segments: one per add)."""
+    r = retrieve.BM25(
+        key="id", on=["document"], spark=spark,
+        state_dir=str(tmp_path / "d"), backend="delta",
+    )
+    r = r.add(r.encode_documents(documents=DOCS1))
+    q = r.encode_queries(queries=QUERIES_A)
+    first = _pairs(r(queries_embeddings=q, k=4))
+    assert any(row for row in first)  # batch-1 state answers
+
+    r = r.add(r.encode_documents(documents=DOCS2))
+    got = _pairs(r(queries_embeddings=q, k=4))
+
+    # oracle: ONE-SHOT union-corpus retriever (exact global stats)
+    ref = retrieve.BM25(
+        key="id", on=["document"], spark=spark,
+        state_dir=str(tmp_path / "one"),
+    )
+    ref = ref.add(ref.encode_documents(documents=DOCS1 + DOCS2))
+    q2 = ref.encode_queries(queries=QUERIES_A)
+    want = _pairs(ref(queries_embeddings=q2, k=4))
+    for g, e in zip(got, want):
+        assert_rank_identical(g, e, rtol=1e-5)
+
+    # the delta index really is segmented: one segment per add()
+    from neural_cherche_spark.index.builder import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "d" / "idx"))
+    assert [s["seg"] for s in idx.manifest.segments] == [0, 1]
+
+
+def test_bm25_delta_backend_int_and_str_keys(spark, tmp_path):
+    docs = [
+        {"id": "doc1", "t": "alpha beta gamma"},
+        {"id": "doc2", "t": "delta epsilon zeta"},
+    ]
+    r = retrieve.BM25(
+        key="id", on=["t"], spark=spark,
+        state_dir=str(tmp_path / "k"), backend="delta",
+    )
+    r = r.add(r.encode_documents(documents=docs))
+    q = r.encode_queries(queries=["alpha beta"])
+    out = r(queries_embeddings=q, k=2)
+    assert out[0][0]["id"] == "doc1"  # original key type restored
