@@ -446,32 +446,71 @@ class ColBERT(_RankColBERT):
 
 class TfIdf:
     """Distributed TF-IDF retriever (cosine over L2-normalized tf-idf,
-    reference retrieve/tfidf.py). Single-batch: ``add`` unions batches
-    and recomputes (the reference's TfIdf does no re-weighting on add;
-    tfidf.py:146-161)."""
+    reference retrieve/tfidf.py). Default: ``add`` unions batches and
+    recomputes (the reference's TfIdf does no re-weighting on add;
+    tfidf.py:146-161). ``backend="delta"`` runs on the segmented raw
+    tfidf index instead: each add() tokenizes only its batch and
+    appends one segment; idf and the per-doc norms are refreshed
+    exactly (revisioned docnorm table) without re-reading old
+    postings — the O(new batch) maintenance the reference's TfIdf
+    cannot do at all (it rebuilds its matrices wholesale)."""
 
     def __init__(
         self,
         key: str,
         on: str | list[str],
         spark: SparkSession | None = None,
+        state_dir: str | None = None,
+        backend: str = "union",
     ) -> None:
+        if backend not in ("union", "delta"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.key = key
         self.on = [on] if isinstance(on, str) else list(on)
         self.spark = spark or SparkSession.active()
+        self.backend = backend
         self._docs: DataFrame | None = None
         self._key_values: list = []
+        if backend == "delta":
+            from neural_cherche_spark.streaming.compressed import (
+                CompressedIndexStream,
+            )
+
+            self.state_dir = state_dir or tempfile.mkdtemp(
+                prefix="tfidf_state_"
+            )
+            self._stream = CompressedIndexStream(
+                self.spark, self.state_dir + "/stream",
+                text_col="text", id_col="doc_id", url_col="doc_key",
+            )
+            self._n_docs = 0
+            self._epoch = 0
 
     def encode_documents(self, documents: list[dict]) -> DataFrame:
         self._pending_keys = [doc[self.key] for doc in documents]
         return _docs_df(self.spark, documents, self.key, self.on)
 
     def add(self, documents_embeddings: DataFrame) -> "TfIdf":
-        self._docs = (
-            documents_embeddings
-            if self._docs is None
-            else self._docs.unionByName(documents_embeddings)
-        )
+        if self.backend == "delta":
+            from neural_cherche_spark.index.builder import _zip_with_index
+
+            counter: dict = {}
+            batch = _zip_with_index(
+                documents_embeddings, "doc_key", "__bid",
+                check_unique=True, counter=counter,
+            ).select(
+                (F.col("__bid") + F.lit(self._n_docs)).alias("doc_id"),
+                "doc_key", "text",
+            )
+            self._stream.add_batch(batch, epoch_id=self._epoch)
+            self._n_docs += int(counter["n"])
+            self._epoch += 1
+        else:
+            self._docs = (
+                documents_embeddings
+                if self._docs is None
+                else self._docs.unionByName(documents_embeddings)
+            )
         self._key_values.extend(getattr(self, "_pending_keys", []))
         self._pending_keys = []
         return self
@@ -487,6 +526,24 @@ class TfIdf:
     def __call__(
         self, queries_embeddings: DataFrame, k: int | None = None
     ) -> list[list[dict]]:
+        if self.backend == "delta":
+            idx = self._stream.materialize(
+                self.state_dir + "/idx", storage="raw", weighting="tfidf"
+            )
+            res = (
+                idx.search(
+                    queries_embeddings,
+                    k=k if k is not None else max(self._n_docs, 1),
+                )
+                .join(
+                    idx.docmap.select(
+                        "doc_id", F.col("url").alias("doc_key")
+                    ),
+                    "doc_id",
+                )
+                .select("query_id", "doc_key", "score", "rank")
+            )
+            return self._format(res)
         if self._docs is None:
             raise RuntimeError("no documents added")
         w = tfidf_weights(self._docs, id_col="doc_key")
@@ -509,6 +566,9 @@ class TfIdf:
             .filter(F.col("score") > 0)
         )
         res = top_k(scored, k, doc_id="doc_key")
+        return self._format(res)
+
+    def _format(self, res: DataFrame) -> list[list[dict]]:
         by_query: dict[int, list] = {}
         for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"])):
             by_query.setdefault(int(r["query_id"]), []).append(

@@ -137,3 +137,44 @@ def test_bm25_delta_backend_int_and_str_keys(spark, tmp_path):
     q = r.encode_queries(queries=["alpha beta"])
     out = r(queries_embeddings=q, k=2)
     assert out[0][0]["id"] == "doc1"  # original key type restored
+
+
+def test_tfidf_delta_backend_matches_union(spark, tmp_path):
+    """TfIdf backend='delta' (segmented raw tfidf index, revisioned
+    docnorm) must rank-match the union-recompute default after two
+    adds — exact idf/doc-norm refresh without re-reading old
+    postings."""
+    docs1 = [
+        {"id": 0, "document": "Food"},
+        {"id": 1, "document": "Sports"},
+        {"id": 2, "document": "Cinema"},
+    ]
+    docs2 = [
+        {"id": 3, "document": "Food is life"},
+        {"id": 4, "document": "Sports are fun"},
+    ]
+    queries = ["Food", "Sports", "Cinema"]
+
+    d = retrieve.TfIdf(
+        key="id", on=["document"], spark=spark,
+        state_dir=str(tmp_path / "d"), backend="delta",
+    )
+    d = d.add(d.encode_documents(documents=docs1))
+    # query between adds: forces a materialize, so the second add is a
+    # genuine DELTA refresh (appended segment + docnorm revision)
+    d(queries_embeddings=d.encode_queries(queries), k=3)
+    d = d.add(d.encode_documents(documents=docs2))
+    got = _pairs(d(queries_embeddings=d.encode_queries(queries), k=3))
+
+    u = retrieve.TfIdf(key="id", on=["document"], spark=spark)
+    u = u.add(u.encode_documents(documents=docs1))
+    u = u.add(u.encode_documents(documents=docs2))
+    want = _pairs(u(queries_embeddings=u.encode_queries(queries), k=3))
+    for g, e in zip(got, want):
+        assert_rank_identical(g, e, rtol=1e-6)
+
+    from neural_cherche_spark.index.builder import BM25Index
+
+    idx = BM25Index(spark, str(tmp_path / "d" / "idx"))
+    assert [s["seg"] for s in idx.manifest.segments] == [0, 1]
+    assert idx.manifest.docnorm_path == "docnorm_r1"
