@@ -523,6 +523,23 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (3-gram
+    jaccard >= 0.2): every doc labeled with its canonical (smallest)
+    reachable doc_id; singletons label themselves. The keep/drop
+    resolution step of the dedup pipeline."""
+    from neural_cherche_spark.ops.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.ops.dedup import simhash
 
@@ -965,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash": _q_simhash,
         "simhash_neighbors": _q_simhash_neighbors,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -1183,6 +1201,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DUCK_SHINGLES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM shingles a JOIN shingles b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.2
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+            ),
+            lbl AS (
+              SELECT s AS doc_id, min(d) AS m FROM reach GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   CAST(least(doc.doc_id, coalesce(lbl.m, doc.doc_id))
+                        AS BIGINT) AS cluster_id
+            FROM documents doc LEFT JOIN lbl USING (doc_id)
         """,
         "simhash": f"""
             WITH {_DUCK_SIMHASH}

@@ -360,3 +360,69 @@ def cross_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .withColumnRenamed("__probe", probe_id_col)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) — CONNECTED COMPONENTS over verified
+    near-duplicate pairs: every doc labeled with the smallest doc_id
+    reachable through the duplicate graph (its canonical
+    representative; singletons label themselves). The final step of a
+    dedup pipeline: keep ``cluster_id == doc_id`` rows, drop the rest.
+
+    Iterative min-label propagation, the standard Spark CC: each round
+    every node takes min(own label, neighbors' labels) over the
+    symmetrized edge set; converges in O(graph diameter) rounds —
+    near-dup clusters are dense and shallow, so a handful in practice.
+    Each round is groupBy+join (no collect); the frontier is
+    localCheckpoint-ed per round to cut lineage (an unbounded
+    iterative plan otherwise re-executes everything every round). The
+    convergence probe piggybacks on the checkpoint pass — one narrow
+    agg per round, the driver sees only a changed-count scalar.
+    """
+    # symmetric edges once; both directions feed the neighbor-min
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "lbl", "nlbl"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.coalesce(F.col("nmin"), F.col("lbl")) < F.col("lbl"))
+                .cast("int")
+                .alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

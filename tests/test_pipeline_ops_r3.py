@@ -141,3 +141,21 @@ def test_cross_contamination_handcomputed(spark):
     }
     # probe 0 shares 'quick brown fox' + 'brown fox jumps' with doc 10
     assert got == {(10, 0): 2}
+
+
+def test_dedup_clusters_handcomputed(spark):
+    """Chain 1-2-3-4 needs multi-round propagation (diameter 3);
+    5-6 is a separate pair; 0 is a singleton."""
+    from neural_cherche_spark.ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
