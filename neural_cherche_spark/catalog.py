@@ -81,6 +81,12 @@ class Manifest:
     # refresh with only new DELETES — no new doc batches — is not
     # skipped as a no-op)
     applied_delete_batches: int = 0
+    # doc batches covered by this snapshot WITHOUT a postings segment
+    # (all-empty micro-batches, or batches whose every doc was
+    # tombstoned before the refresh): a segment entry with no seg dir
+    # would poison the snapshot validator (ADVICE r4), so coverage for
+    # postings-less batches is recorded here instead
+    covered_batches: list = field(default_factory=list)
     # per-doc L2 norm table (tfidf + raw storage only; "" = none).
     # Same revision discipline as termdict_path: every refresh rewrites
     # the norms (idf moved ⇒ every doc norm moved) into a fresh dir and

@@ -805,9 +805,18 @@ class BM25Index:
 
     @property
     def docmap(self) -> DataFrame:
-        return self._seg_filter(
+        """(doc_id, url[, dl]) for LIVE docs only: segments written
+        before a delete keep the deleted docs' rows as immutable bytes,
+        so the view anti-joins this manifest's tombstones — keeping
+        ``docmap.count()`` equal to ``manifest.n_docs`` at every
+        snapshot (ADVICE r4)."""
+        df = self._seg_filter(
             self.spark.read.parquet(self.cat.path("docmap"))
         )
+        t = self.tombstones
+        if t is not None:
+            df = df.join(t, "doc_id", "left_anti")
+        return df
 
     @property
     def docnorm(self) -> DataFrame:

@@ -490,7 +490,7 @@ class CompressedIndexStream:
         if prev_ok:
             done = {
                 b for s in manifest.segments for b in s.get("batches", [])
-            }
+            } | set(getattr(manifest, "covered_batches", []) or [])
         else:
             done = set()
             # stale/incompatible index state: clear before full
@@ -740,10 +740,24 @@ class CompressedIndexStream:
         # an all-empty new-batch set (replayed/empty micro-batches) has
         # nothing to encode: record the batches as covered and skip the
         # segment writes — an empty parquet dir has no data files and
-        # would poison later whole-dir reads
+        # would poison later whole-dir reads. Emptiness is decided
+        # AFTER the tombstone anti-join (ADVICE r4): a batch whose
+        # every doc was deleted before this refresh also encodes to
+        # nothing, and its "segment" write would be a data-file-less
+        # parquet dir that crashes the lineage read.
         seg_has_postings = (
             sum(ledger[str(b)]["n_docs"] for b in new_batches) > 0
         )
+        if seg_has_postings and tomb is not None:
+            live = (
+                spark.read.schema(DOCS_BATCH_SCHEMA)
+                .parquet(*[self._p(f"docs/batch={b}") for b in new_batches])
+                .filter(F.col("dl") > 0)
+                .join(tomb, "doc_id", "left_anti")
+                .limit(1)
+                .count()
+            )
+            seg_has_postings = live > 0
         enc_src = tf_new
         if tomb is not None:
             # docs added-then-deleted before this refresh never reach a
@@ -814,13 +828,19 @@ class CompressedIndexStream:
                 .write.mode("overwrite")
                 .parquet(os.path.join(cat.path("lineage"), f"seg={seg_id}"))
             )
-            (
-                spark.read.schema(DOCS_BATCH_SCHEMA).parquet(
-                    *[self._p(f"docs/batch={b}") for b in new_batches]
-                )
+            docsrc = (
+                spark.read.schema(DOCS_BATCH_SCHEMA)
+                .parquet(*[self._p(f"docs/batch={b}") for b in new_batches])
                 .select("doc_id", "url", "dl")
-                .write.mode("overwrite")
-                .parquet(os.path.join(cat.path("docmap"), f"seg={seg_id}"))
+            )
+            if tomb is not None:
+                # tombstoned docs never reach a NEW docmap segment
+                # (ADVICE r4): on full re-encode (prev_ok=False /
+                # compact) this is the physical docmap GC; on delta
+                # refresh it keeps added-then-deleted docs out
+                docsrc = docsrc.join(tomb, "doc_id", "left_anti")
+            docsrc.write.mode("overwrite").parquet(
+                os.path.join(cat.path("docmap"), f"seg={seg_id}")
             )
             seg_n_postings = int(
                 spark.read.parquet(
@@ -832,13 +852,26 @@ class CompressedIndexStream:
             )
         walls["lineage"] = time.perf_counter() - t0
 
-        segments = (list(manifest.segments) if prev_ok else []) + [
-            {
-                "seg": seg_id,
-                "batches": new_batches,
-                "n_postings": seg_n_postings,
-            }
-        ]
+        # a segment entry is appended ONLY when its seg dir was written
+        # (ADVICE r4: a postings-less entry breaks the snapshot
+        # validator — and every later snapshot — with FileNotFoundError
+        # on the phantom seg dir). Batches that produced no postings
+        # (empty, or fully tombstoned pre-refresh) are recorded as
+        # covered at the manifest level instead.
+        segments = list(manifest.segments) if prev_ok else []
+        covered = list(
+            getattr(manifest, "covered_batches", []) or []
+        ) if prev_ok else []
+        if seg_has_postings:
+            segments = segments + [
+                {
+                    "seg": seg_id,
+                    "batches": new_batches,
+                    "n_postings": seg_n_postings,
+                }
+            ]
+        else:
+            covered = covered + list(new_batches)
 
         # ---- tombstones: deleted ids whose postings sit in RETAINED
         # segments. A full re-encode (no prior segments kept) already
@@ -872,6 +905,7 @@ class CompressedIndexStream:
             stats_frozen=frozen,
             tombstones_path=tombstones_path,
             applied_delete_batches=n_del_batches,
+            covered_batches=covered,
         )
         cat.save_manifest(m)
         if max_segments is not None and len(segments) > max_segments:
