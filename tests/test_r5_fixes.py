@@ -121,3 +121,60 @@ def test_docmap_excludes_tombstoned(spark, corpus, queries, tmp_path):
     compacted = stream.compact(idx_dir, n_buckets=8, salt_every=50)
     assert compacted.manifest.tombstones_path == ""
     assert compacted.docmap.count() == compacted.manifest.n_docs
+
+
+def test_dedup_clusters_path_graph_converges_logarithmically(spark):
+    """ADVICE r4 / VERDICT #4: a 10k-node PATH graph (diameter 9 999)
+    must cluster correctly within ~log2(n) large-star/small-star
+    rounds — min-label propagation needed ~n rounds and silently
+    returned wrong labels past max_iters. max_iters=18 ≈ ⌈log2 1e4⌉+4:
+    exceeding it raises, so passing proves the round bound."""
+    import math
+
+    from neural_cherche_spark.ops.dedup import dedup_clusters
+
+    n = 10_000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (
+        spark.range(n - 1)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+    )
+    max_iters = math.ceil(math.log2(n)) + 4
+    got = dedup_clusters(docs, pairs, max_iters=max_iters)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
+
+
+def test_dedup_clusters_raises_instead_of_silent_wrong_labels(spark):
+    from neural_cherche_spark.ops.dedup import dedup_clusters
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    pairs = spark.range(9).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iters=1)
+
+
+def test_dedup_clusters_mixed_components_and_singletons(spark):
+    from neural_cherche_spark.ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        # component {3,5,7,9} as a chain, {0,1} direct, {10,11} direct;
+        # 2,4,6,8 singletons
+        [(5, 3), (5, 7), (7, 9), (0, 1), (11, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 3, 6: 6,
+        7: 3, 8: 8, 9: 3, 10: 10, 11: 10,
+    }
