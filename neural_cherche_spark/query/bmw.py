@@ -235,97 +235,111 @@ _DOC_BITS = 41
 _PAIRS_PER_TASK = 250_000
 
 
-def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
-    """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
-    inside the worker via a broadcast {term_id: (qids[], qtfs[])}
-    dict, so a hot block shared by Q queries is shuffled and decoded
-    ONCE, not Q times (a per-query join would duplicate every
-    stopword-gram block once per matching query).
+def _partial_scores_for_batch(
+    pdf: pd.DataFrame, qmap: dict, raw_cfg, tomb
+) -> pd.DataFrame | None:
+    """Decode one pandas batch of postings blocks ONCE, fan out to all
+    matching queries via the ``{term_id: (qids[], qtfs[][, s_t])}``
+    map, and pre-aggregate to per-(query, doc) partial sums. Shared by
+    the bulk decode-score path (mapInPandas) and the single-scan
+    unified auto path's bulk groups (applyInPandas).
 
     The (posting × matching-query) expansion — the irreducible work of
     exact scoring — is a handful of C-level numpy ops per TERM
     (tile/repeat/outer), and the per-batch combine is one np.unique
     over packed (query_id, doc_id) keys. No per-block Python loops on
     tiny arrays."""
+    from neural_cherche_spark.index.codec import (
+        bm25_w1,
+        decode_block,
+        decode_block_raw,
+    )
+
+    mask = (1 << _DOC_BITS) - 1
+    per_term: dict[int, tuple[list, list]] = {}
+    if raw_cfg is not None:
+        k1, b, eps, avgdl, weighting = raw_cfg
+        tfidf = weighting == "tfidf"
+        for tid, docs_bin, tfs_bin, dls_bin in zip(
+            pdf["term_id"], pdf["docs"], pdf["tfs"], pdf["dls"]
+        ):
+            hit = qmap.get(int(tid))
+            if hit is None:
+                continue
+            d, tfv, dlv = decode_block_raw(docs_bin, tfs_bin, dls_bin)
+            if tfidf:
+                # unnormalized tf·idf — the per-doc L2 norm is
+                # divided out AFTER aggregation (docnorm join
+                # in search_distributed)
+                w = tfv.astype(np.float64) * hit[2]
+            else:
+                # query-time weight from CURRENT stats:
+                # w1 · idf/norm
+                w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
+            if tomb is not None and d.size:
+                keep = _not_tombstoned(d, tomb)
+                d, w = d[keep], w[keep]
+            buf = per_term.setdefault(int(tid), ([], []))
+            buf[0].append(d)
+            buf[1].append(w)
+    else:
+        for tid, docs_bin, ws_bin in zip(
+            pdf["term_id"], pdf["docs"], pdf["ws"]
+        ):
+            hit = qmap.get(int(tid))
+            if hit is None:
+                continue
+            d, w = decode_block(docs_bin, ws_bin)
+            if tomb is not None and d.size:
+                keep = _not_tombstoned(d, tomb)
+                d, w = d[keep], w[keep]
+            buf = per_term.setdefault(int(tid), ([], []))
+            buf[0].append(d)
+            buf[1].append(w)
+    if not per_term:
+        return None
+    key_parts, val_parts = [], []
+    for tid, (dl, wl) in per_term.items():
+        d = np.concatenate(dl)
+        w = np.concatenate(wl).astype(np.float64)
+        qids, qtfs = qmap[tid][0], qmap[tid][1]
+        # K×n expansion in C: scores outer product, keys packed
+        scores = (qtfs[:, None] * w[None, :]).ravel()
+        keys = (
+            (qids.astype(np.int64) << _DOC_BITS)[:, None] | d[None, :]
+        ).ravel()
+        key_parts.append(keys)
+        val_parts.append(scores)
+    key = np.concatenate(key_parts)
+    val = np.concatenate(val_parts)
+    uk, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=val)
+    return pd.DataFrame(
+        {
+            "query_id": (uk >> _DOC_BITS).astype(np.int64),
+            "doc_id": (uk & mask).astype(np.int64),
+            "score": sums,
+        }
+    )
+
+
+def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
+    """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
+    inside the worker via a broadcast {term_id: (qids[], qtfs[])}
+    dict, so a hot block shared by Q queries is shuffled and decoded
+    ONCE, not Q times (a per-query join would duplicate every
+    stopword-gram block once per matching query). Scoring body shared
+    with the unified auto path: :func:`_partial_scores_for_batch`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from neural_cherche_spark.index.codec import (
-            bm25_w1,
-            decode_block,
-            decode_block_raw,
-        )
-
         qmap = qmap_bc.value
         tomb = tomb_bc.value if tomb_bc is not None else None
-        mask = (1 << _DOC_BITS) - 1
         for pdf in batches:
             if pdf.empty:
                 continue
-            per_term: dict[int, tuple[list, list]] = {}
-            if raw_cfg is not None:
-                k1, b, eps, avgdl, weighting = raw_cfg
-                tfidf = weighting == "tfidf"
-                for tid, docs_bin, tfs_bin, dls_bin in zip(
-                    pdf["term_id"], pdf["docs"], pdf["tfs"], pdf["dls"]
-                ):
-                    hit = qmap.get(int(tid))
-                    if hit is None:
-                        continue
-                    d, tfv, dlv = decode_block_raw(docs_bin, tfs_bin, dls_bin)
-                    if tfidf:
-                        # unnormalized tf·idf — the per-doc L2 norm is
-                        # divided out AFTER aggregation (docnorm join
-                        # in search_distributed)
-                        w = tfv.astype(np.float64) * hit[2]
-                    else:
-                        # query-time weight from CURRENT stats:
-                        # w1 · idf/norm
-                        w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
-                    if tomb is not None and d.size:
-                        keep = _not_tombstoned(d, tomb)
-                        d, w = d[keep], w[keep]
-                    buf = per_term.setdefault(int(tid), ([], []))
-                    buf[0].append(d)
-                    buf[1].append(w)
-            else:
-                for tid, docs_bin, ws_bin in zip(
-                    pdf["term_id"], pdf["docs"], pdf["ws"]
-                ):
-                    hit = qmap.get(int(tid))
-                    if hit is None:
-                        continue
-                    d, w = decode_block(docs_bin, ws_bin)
-                    if tomb is not None and d.size:
-                        keep = _not_tombstoned(d, tomb)
-                        d, w = d[keep], w[keep]
-                    buf = per_term.setdefault(int(tid), ([], []))
-                    buf[0].append(d)
-                    buf[1].append(w)
-            if not per_term:
-                continue
-            key_parts, val_parts = [], []
-            for tid, (dl, wl) in per_term.items():
-                d = np.concatenate(dl)
-                w = np.concatenate(wl).astype(np.float64)
-                qids, qtfs = qmap[tid][0], qmap[tid][1]
-                # K×n expansion in C: scores outer product, keys packed
-                scores = (qtfs[:, None] * w[None, :]).ravel()
-                keys = (
-                    (qids.astype(np.int64) << _DOC_BITS)[:, None] | d[None, :]
-                ).ravel()
-                key_parts.append(keys)
-                val_parts.append(scores)
-            key = np.concatenate(key_parts)
-            val = np.concatenate(val_parts)
-            uk, inv = np.unique(key, return_inverse=True)
-            sums = np.bincount(inv, weights=val)
-            yield pd.DataFrame(
-                {
-                    "query_id": (uk >> _DOC_BITS).astype(np.int64),
-                    "doc_id": (uk & mask).astype(np.int64),
-                    "score": sums,
-                }
-            )
+            out = _partial_scores_for_batch(pdf, qmap, raw_cfg, tomb)
+            if out is not None:
+                yield out
 
     return run
 
@@ -495,8 +509,17 @@ def _bmw_group_fn(
     raw_cfg: tuple | None = None,
     _stats: dict | None = None,
     tomb_bc=None,
+    bulk_qmap_bc=None,
 ):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
+
+    When ``bulk_qmap_bc`` is set (single-scan unified auto path),
+    groups keyed by the sentinel ``query_id == -1`` carry the HEAVY
+    queries' blocks: they are decoded once and fanned out to all heavy
+    queries via the broadcast map, emitting per-(query, doc) PARTIAL
+    sums (exactness restored by the downstream groupBy-sum) — the same
+    scoring body as the distributed path, running inside the same
+    grouped stage as the selective queries' block-max top-k.
 
     Pruning is sound under NEGATIVE weights (sign-split bounds):
     unseen docs are bounded by the per-run positive suffix maxima;
@@ -525,6 +548,14 @@ def _bmw_group_fn(
 
         tomb = tomb_bc.value if tomb_bc is not None else None
         qid = int(pdf["query_id"].iloc[0])
+        if qid == -1:
+            # bulk group (unified auto): decode once, broadcast fan-out
+            out = _partial_scores_for_batch(
+                pdf, bulk_qmap_bc.value, raw_cfg, tomb
+            )
+            if out is None:
+                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            return out
         grp = int(pdf["grp"].iloc[0])
         n_groups = int(pdf["n_groups"].iloc[0])
         qtf = pdf["qtf"].to_numpy(dtype=np.float64)
@@ -668,8 +699,21 @@ def search_bmw(
     k: int = 10,
     _rows: list | None = None,
     subgroup_cap: int = 32,
+    _heavy_rows: list | None = None,
 ) -> DataFrame:
     """Block-max pruned top-k with heavy-group salt sharding.
+
+    ``_heavy_rows`` (internal, set by :func:`search_auto`): match rows
+    of HEAVY queries to score through the bulk decode-fan-out path
+    INSIDE the same single postings scan and grouped stage — each heavy
+    term contributes one sentinel ``query_id = -1`` entry to the
+    broadcast qt, its blocks land in volume-sized bulk groups
+    (hash(term, salt, block) mod m_bulk), and the grouped scorer
+    branches (see :func:`_bmw_group_fn`). The selective top-k rows pass
+    unchanged through the final per-(query, doc) sum (their (query,
+    doc) keys are unique across doc-disjoint subgroups), so one
+    agg + window finishes both sides — one scan, one shuffle-group
+    stage, one job, instead of r4's two full per-side search plans.
 
     Per-query parallelism: a query whose matched terms include salted
     head grams is split into ``n_groups = min(max(n_salts),
@@ -709,6 +753,9 @@ def search_bmw(
         # sound path is bulk decode-score + docnorm join
         return search_distributed(index, queries, k, _rows=_rows)
     rows = _matched_terms(index, queries) if _rows is None else _rows
+    heavy = _heavy_rows or None
+    if not rows and heavy:
+        return search_distributed(index, queries, k, _rows=heavy)
     if not rows:
         return _empty_result(index.spark)
     n_groups_by_q: dict[int, int] = {}
@@ -719,6 +766,15 @@ def search_bmw(
                 n_groups_by_q.get(qid, 1),
                 min(int(r["n_salts"]), subgroup_cap),
             )
+    m_bulk = 0
+    if heavy:
+        # bulk-group count sized by matched heavy volume — same
+        # task-count policy as search_distributed (constant task set
+        # as the fleet grows; see the comment there)
+        vol_h = sum(int(r["df"]) * len(r["qs"]) for r in heavy)
+        m_bulk = max(
+            1, min((vol_h + _PAIRS_PER_TASK - 1) // _PAIRS_PER_TASK, 512)
+        )
     raw = index.manifest.cfg.get("storage", "weights") == "raw"
     if raw:
         # raw blocks: n_salts comes from the postings ROW (segments of
@@ -732,18 +788,25 @@ def search_bmw(
             float(cfgm["epsilon"]), float(index.manifest.avgdl),
             "bm25",  # tfidf+raw never reaches this path (routed above)
         )
+        qt_rows = [
+            (
+                int(r["term_id"]),
+                int(q["query_id"]),
+                float(q["qtf"]),
+                n_groups_by_q[int(q["query_id"])],
+                float(r["idf"]) / float(r["term_norm"]),
+            )
+            for r in rows
+            for q in r["qs"]
+        ]
+        if heavy:
+            # one sentinel row per heavy-matched term: routes the
+            # term's blocks (once) into the bulk groups
+            qt_rows += [
+                (int(r["term_id"]), -1, 0.0, 1, 0.0) for r in heavy
+            ]
         qt = index.spark.createDataFrame(
-            [
-                (
-                    int(r["term_id"]),
-                    int(q["query_id"]),
-                    float(q["qtf"]),
-                    n_groups_by_q[int(q["query_id"])],
-                    float(r["idf"]) / float(r["term_norm"]),
-                )
-                for r in rows
-                for q in r["qs"]
-            ],
+            qt_rows,
             "term_id long, query_id long, qtf double, n_groups int, s_t double",
         )
         k1, b, eps, avgdl = raw_cfg[:4]
@@ -768,7 +831,7 @@ def search_bmw(
             * (1.0 - 1e-9) - 1e-12,
         )
         joined = (
-            _postings_for(index, rows)
+            _postings_for(index, rows + (heavy or []))
             .join(F.broadcast(qt), "term_id")
             .withColumn(
                 "max_w",
@@ -790,37 +853,79 @@ def search_bmw(
         ]
     else:
         raw_cfg = None
+        qt_rows = [
+            (
+                int(r["term_id"]),
+                int(r["n_salts"]),
+                int(q["query_id"]),
+                float(q["qtf"]),
+                n_groups_by_q[int(q["query_id"])],
+            )
+            for r in rows
+            for q in r["qs"]
+        ]
+        if heavy:
+            qt_rows += [
+                (int(r["term_id"]), 1, -1, 0.0, 1) for r in heavy
+            ]
         qt = index.spark.createDataFrame(
-            [
-                (
-                    int(r["term_id"]),
-                    int(r["n_salts"]),
-                    int(q["query_id"]),
-                    float(q["qtf"]),
-                    n_groups_by_q[int(q["query_id"])],
-                )
-                for r in rows
-                for q in r["qs"]
-            ],
+            qt_rows,
             "term_id long, n_salts int, query_id long, qtf double, n_groups int",
         )
-        joined = _postings_for(index, rows).join(F.broadcast(qt), "term_id")
+        joined = _postings_for(index, rows + (heavy or [])).join(
+            F.broadcast(qt), "term_id"
+        )
         group_cols = [
             "query_id", "grp", "n_groups", "term_id", "salt",
             "qtf", "max_w", "min_w", "first_doc", "last_doc",
             "docs", "ws",
         ]
+    bulk_case = (
+        # sentinel rows: one bulk group per volume-sized block bucket
+        f"WHEN query_id = -1 THEN array(cast(pmod("
+        f"xxhash64(term_id, salt, block_id), {m_bulk}) as int)) "
+        if heavy
+        else ""
+    )
     expanded = joined.withColumn(
         "grp",
         F.explode(
             F.expr(
-                "CASE WHEN n_salts <= n_groups THEN "
+                "CASE " + bulk_case + "WHEN n_salts <= n_groups THEN "
                 "transform(sequence(0, cast(n_groups / n_salts as int) - 1), "
                 "m -> salt + m * n_salts) "
                 "ELSE array(cast(pmod(salt, n_groups) as int)) END"
             )
         ),
     )
+    bulk_qmap_bc = None
+    if heavy:
+        if raw:
+            hmap = {
+                int(r["term_id"]): (
+                    np.array(
+                        [int(q["query_id"]) for q in r["qs"]], dtype=np.int64
+                    ),
+                    np.array(
+                        [float(q["qtf"]) for q in r["qs"]], dtype=np.float64
+                    ),
+                    float(r["idf"]) / float(r["term_norm"]),
+                )
+                for r in heavy
+            }
+        else:
+            hmap = {
+                int(r["term_id"]): (
+                    np.array(
+                        [int(q["query_id"]) for q in r["qs"]], dtype=np.int64
+                    ),
+                    np.array(
+                        [float(q["qtf"]) for q in r["qs"]], dtype=np.float64
+                    ),
+                )
+                for r in heavy
+            }
+        bulk_qmap_bc = index.spark.sparkContext.broadcast(hmap)
     scored = (
         expanded.select(*group_cols)
         .groupBy("query_id", "grp")
@@ -833,10 +938,19 @@ def search_bmw(
                     if hasattr(index, "_tombstone_bc")
                     else None
                 ),
+                bulk_qmap_bc=bulk_qmap_bc,
             ),
             _SCORE_SCHEMA,
         )
     )
+    if heavy:
+        # restore exactness for the bulk partials; a no-op for the
+        # selective rows ((query, doc) unique across disjoint subgroups)
+        scored = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+            .filter(F.col("score") > 0)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -904,8 +1018,12 @@ def search_auto(
         return search_bmw(index, queries, k, _rows=rows)
     if len(heavy_ids) == len(vol):
         return search_distributed(index, queries, k, _rows=rows)
-    return search_bmw(index, queries, k, _rows=side(False)).unionByName(
-        search_distributed(index, queries, k, _rows=side(True))
+    # mixed routing: ONE postings scan, one grouped stage — selective
+    # queries take the block-max subgroups, heavy queries ride along as
+    # sentinel-keyed bulk groups (r4 ran two full per-side search
+    # plans; the per-batch fixed cost was paid twice)
+    return search_bmw(
+        index, queries, k, _rows=side(False), _heavy_rows=side(True)
     )
 
 

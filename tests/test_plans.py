@@ -130,6 +130,39 @@ def test_raw_distributed_plan_single_python_stage(spark, corpus, tmp_path):
     assert "PushedFilters: [" in plan and "term_id" in plan
 
 
+def test_auto_mixed_routing_is_single_scan(spark, corpus, tmp_path):
+    """VERDICT r4 #1: mixed heavy/selective auto-routing must derive
+    both sides from ONE pruned postings scan in one grouped stage —
+    not two per-side search plans. The executed plan must contain
+    exactly one parquet scan and exactly one grouped-Python stage."""
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import _matched_terms, search_auto
+
+    for storage in ("weights", "raw"):
+        idx = build_index(
+            spark, corpus, str(tmp_path / f"idx_{storage}"),
+            id_col="doc_id", n_buckets=8, salt_every=50, storage=storage,
+        )
+        queries = synth_queries(spark, 5, seed=4)
+        rows = _matched_terms(idx, queries)
+        vol: dict[int, int] = {}
+        for r in rows:
+            for q in r["qs"]:
+                qid = int(q["query_id"])
+                vol[qid] = vol.get(qid, 0) + int(r["df"])
+        vols = sorted(vol.values())
+        thr = vols[len(vols) // 2]  # median ⇒ both sides non-empty
+        heavy = {q for q, v in vol.items() if v > thr}
+        assert heavy and len(heavy) < len(vol), "fixture must mix-route"
+        res = search_auto(idx, queries, k=5, heavy_postings_threshold=thr)
+        plan = _plan(res)
+        assert plan.count("Scan parquet") == 1, storage
+        assert plan.count("FlatMapGroupsInPandas") == 1, storage
+        assert "MapInPandas" not in plan, storage
+        assert "BroadcastHashJoin" in plan, storage
+        assert "PushedFilters: [" in plan and "term_id" in plan, storage
+
+
 def test_line_dedup_plan_no_python_no_cartesian(spark, corpus):
     """line_dedup is pure JVM (posexplode + agg + equi-joins): no
     Python stage, no cartesian/nested-loop join, and the line-keyed
