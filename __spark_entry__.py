@@ -447,6 +447,37 @@ def _q_tfidf_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id", "score", "rank")
 
 
+def _q_tfidf_topk_raw_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the tfidf RAW storage block-max path
+    (round-5): blocks carry per-posting tf + quantized encode-time
+    docnorms, per-segment γ drift factors keep the bounds sound, and
+    mode='bmw' prunes instead of silently bulking — must match the
+    full-corpus exact TfIdf cosine oracle on the 6-dp grid (raw
+    scores are f64 end-to-end)."""
+    import hashlib
+
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.query.bmw import _tfidf_raw_gammas
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = build_index(
+        spark,
+        _docs(spark, sf_dir),
+        f"/tmp/ncs_entry_tfraw_{tag}",
+        id_col="doc_id",
+        n_buckets=8,
+        salt_every=50,
+        weighting="tfidf",
+        storage="raw",
+    )
+    assert _tfidf_raw_gammas(idx) is not None, (
+        "tfidf raw gate must take the block-max path (γ coverage)"
+    )
+    return _rank_on_grid(
+        idx.search(_queries_df(spark), k=TOP_K, mode="bmw"), 6
+    )
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over L2-normalized smoothed tf-idf (reference
     retrieve.TfIdf semantics; SURVEY §2.9 TfIdf variant)."""
@@ -977,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_distributed": _q_bm25_topk_compressed("distributed"),
         "tfidf_topk": _q_tfidf_topk,
         "tfidf_topk_bmw": _q_tfidf_topk_bmw,
+        "tfidf_topk_raw_bmw": _q_tfidf_topk_raw_bmw,
         "tfidf_topk_delta": _q_tfidf_topk_delta,
         "field_concat": _q_field_concat,
         "dedup_exact": _q_dedup_exact,
@@ -1154,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
             for name, dp in (
                 ("tfidf_topk", 6),
                 ("tfidf_topk_bmw", _COMPRESSED_DP),
+                ("tfidf_topk_raw_bmw", 6),
                 ("tfidf_topk_delta", 6),
             )
         },

@@ -92,6 +92,18 @@ class Manifest:
     # the norms (idf moved ⇒ every doc norm moved) into a fresh dir and
     # the manifest flip publishes it.
     docnorm_path: str = ""
+    # tfidf + raw block-max soundness metadata: {str(seg): [lo, hi]}
+    # bounding dnorm_current(d) / dnorm_at_encode(d) over the live docs
+    # of each segment. Blocks of a tfidf raw segment carry the
+    # FLOOR-QUANTIZED encode-time docnorm in their dls stream (see
+    # codec.DNORM_SCALE), so block-max WAND bounds stay sound across
+    # refreshes by scaling with these drift factors: a fresh segment
+    # starts at [1, 1] (exact); each non-frozen refresh multiplies in
+    # the global min/max of dnorm_new/dnorm_prev (one O(n_docs)
+    # scalar-join job). Segments WITHOUT an entry (pre-quantization
+    # layout) are uncovered — the query router keeps the whole index on
+    # the bulk path, never trusting their dls stream as a norm.
+    dnorm_gammas: dict = field(default_factory=dict)
 
 
 class IndexCatalog:

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from neural_cherche_spark.catalog import IndexCatalog, Manifest
+from neural_cherche_spark.index.codec import DNORM_SCALE
 from neural_cherche_spark.index.build import (
     BM25Config,
     collection_stats,
@@ -547,6 +548,31 @@ def _finish_build(
     walls["termdict"] = time.perf_counter() - t0
     termdict = spark.read.parquet(cat.path("termdict"))
 
+    # ---- docnorm (tfidf + raw only) -------------------------------------
+    # per-doc L2 norm ‖d‖ = sqrt(Σ_t (tf·idf_t)²): raw tfidf blocks
+    # store tf, queries score unnormalized and divide by ‖d‖ via a
+    # doc-keyed join of the candidate set against this table. One
+    # term-keyed join + one doc-keyed agg over tf — recomputed whole
+    # on every refresh because idf moves (norms are per-doc SCALARS:
+    # the rewrite is O(n_docs) bytes, postings stay untouched).
+    # Computed BEFORE the postings stage: the tfidf raw encode stamps
+    # each posting with the floor-quantized norm (codec.DNORM_SCALE)
+    # so block metadata carries sound per-block norm bounds.
+    docnorm_path = ""
+    if storage == "raw" and weighting == "tfidf":
+        t0 = time.perf_counter()
+        docnorm_path = "docnorm"
+        if not cat.stage_done(manifest, "docnorm", fingerprint):
+            (
+                tf.join(termdict.select("term", "idf"), "term")
+                .withColumn("wr", F.col("tf") * F.col("idf"))
+                .groupBy("doc_id")
+                .agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("dnorm"))
+                .write.mode("overwrite")
+                .parquet(cat.path("docnorm"))
+            )
+        walls["docnorm"] = time.perf_counter() - t0
+
     # ---- postings -------------------------------------------------------
     t0 = time.perf_counter()
     if not cat.stage_done(manifest, "postings", fingerprint):
@@ -554,9 +580,21 @@ def _finish_build(
             # raw layout: per-posting (tf, dl); weights computed at
             # query time. Written as segment 0 of a segmented index —
             # the same layout CompressedIndexStream appends deltas to.
+            # tfidf: the dl slot carries the quantized encode-time
+            # docnorm ρq (cosine never reads dl; see codec.DNORM_SCALE)
+            if weighting == "tfidf":
+                dn = spark.read.parquet(cat.path("docnorm"))
+                w = tf.join(dn, "doc_id").withColumn(
+                    "dl",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(F.col("dnorm") * F.lit(float(DNORM_SCALE))),
+                    ).cast("long"),
+                )
+            else:
+                w = tf.join(dl, "doc_id")
             w = (
-                tf.join(dl, "doc_id")
-                .join(
+                w.join(
                     F.broadcast(
                         termdict.select("term", "term_id", "n_salts")
                     ),
@@ -617,28 +655,6 @@ def _finish_build(
     walls["postings"] = time.perf_counter() - t0
     postings = spark.read.parquet(cat.path("postings"))
 
-    # ---- docnorm (tfidf + raw only) -------------------------------------
-    # per-doc L2 norm ‖d‖ = sqrt(Σ_t (tf·idf_t)²): raw tfidf blocks
-    # store tf, queries score unnormalized and divide by ‖d‖ via a
-    # doc-keyed join of the candidate set against this table. One
-    # term-keyed join + one doc-keyed agg over tf — recomputed whole
-    # on every refresh because idf moves (norms are per-doc SCALARS:
-    # the rewrite is O(n_docs) bytes, postings stay untouched).
-    docnorm_path = ""
-    if storage == "raw" and weighting == "tfidf":
-        t0 = time.perf_counter()
-        docnorm_path = "docnorm"
-        if not cat.stage_done(manifest, "docnorm", fingerprint):
-            (
-                tf.join(termdict.select("term", "idf"), "term")
-                .withColumn("wr", F.col("tf") * F.col("idf"))
-                .groupBy("doc_id")
-                .agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("dnorm"))
-                .write.mode("overwrite")
-                .parquet(cat.path("docnorm"))
-            )
-        walls["docnorm"] = time.perf_counter() - t0
-
     # ---- lineage (per-bucket metrics table) ------------------------------
     # column-pruned aggregation: n_bytes was computed at encode time, so
     # this scan never touches the (dominant) binary docs/ws columns —
@@ -697,6 +713,10 @@ def _finish_build(
             else []
         ),
         docnorm_path=docnorm_path,
+        # fresh build: blocks were quantized against THIS docnorm, so
+        # the drift factor is exactly 1 (block-max is as tight as
+        # weights-mode BMW until the first non-frozen refresh)
+        dnorm_gammas=({"0": [1.0, 1.0]} if docnorm_path else {}),
     )
     cat.save_manifest(m)
     return BM25Index(spark, index_dir)

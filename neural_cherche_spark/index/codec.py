@@ -21,6 +21,17 @@ import numpy as np
 
 BLOCK_SIZE = 128
 
+# tfidf + raw storage: the per-posting dls varint stream carries the
+# FLOOR-QUANTIZED encode-time per-doc L2 norm ρq = floor(dnorm · SCALE)
+# instead of dl (tfidf scoring never reads dl — the cosine divides by
+# ‖d‖, not by length). ρq/SCALE ≤ dnorm < (ρq+1)/SCALE, so the block
+# metadata min_dl/max_dl become per-block norm bounds for free and
+# block-max WAND gets a sound normalized upper bound
+# qw·idf·max_tf·SCALE/min_dl without any extra stream or schema column.
+# Norm drift across refreshes is covered by the manifest's per-segment
+# dnorm_gammas factors (catalog.Manifest).
+DNORM_SCALE = 256
+
 
 def doc_salt(doc_ids: np.ndarray, n_salts: int) -> np.ndarray:
     """Salt/subgroup assignment of a doc id — the numpy twin of the

@@ -178,6 +178,27 @@ def serving_match_rows(index, queries: list[str]) -> list:
     return rows
 
 
+def _tfidf_raw_gammas(index) -> dict | None:
+    """Per-segment norm-drift bounds {seg: (γ_lo, γ_hi)} for a tfidf
+    raw index, or None when any committed segment lacks one.
+
+    Blocks of a covered segment carry the floor-quantized encode-time
+    docnorm in their dls stream (codec.DNORM_SCALE); for a live doc d,
+    γ_lo·ρq(d)/S ≤ ‖d‖_now ≤ γ_hi·(ρq(d)+1)/S — what makes block-max
+    WAND sound on tfidf raw storage across refreshes. Segments written
+    by the pre-quantization layout have NO manifest entry (their dls
+    stream holds dl, not ρq); one uncovered segment poisons the whole
+    block-max plan, so the router falls back to the bulk path."""
+    g = getattr(index.manifest, "dnorm_gammas", {}) or {}
+    out = {}
+    for s in index.manifest.segments:
+        e = g.get(str(int(s["seg"])))
+        if e is None:
+            return None
+        out[int(s["seg"])] = (float(e[0]), float(e[1]))
+    return out
+
+
 def _postings_for(index, rows: list) -> DataFrame:
     """Bucket- and term-pruned postings scan from collected match rows."""
     buckets = sorted({int(b) for r in rows for b in r["buckets"]})
@@ -570,11 +591,22 @@ def _bmw_group_fn(
         if ub_pos[order[0]] <= 0.0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
+        tfidf = raw_cfg is not None and raw_cfg[4] == "tfidf"
         if raw_cfg is not None:
             k1, b, eps, avgdl = raw_cfg[:4]
             tfs_col = pdf["tfs"].to_numpy()
             dls_col = pdf["dls"].to_numpy()
             s_t = pdf["s_t"].to_numpy(dtype=np.float64)
+            if tfidf:
+                from neural_cherche_spark.index.codec import DNORM_SCALE
+
+                # per-block drift-scaled norm factors: the dls stream
+                # holds the quantized encode-time docnorm ρq, so for a
+                # live doc d, ρq·glo ≤ ‖d‖_now ≤ (ρq+1)·ghi (search_bmw
+                # applied the f64 margins to the γ factors; the
+                # quantization scale divides out here)
+                glo = pdf["glo"].to_numpy(dtype=np.float64) / DNORM_SCALE
+                ghi = pdf["ghi"].to_numpy(dtype=np.float64) / DNORM_SCALE
         else:
             ws_col = pdf["ws"].to_numpy()
         # run key: salt < 2^20 (cap 1024), term_id < 2^40 → fits int64
@@ -591,9 +623,14 @@ def _bmw_group_fn(
 
         acc_d = np.empty(0, dtype=np.int64)
         acc_s = np.empty(0, dtype=np.float64)
+        # tfidf only: per-candidate norm lower/upper bounds (a doc's ρq
+        # is identical in every block that contains it — one value per
+        # doc, captured at first sight)
+        acc_lo = np.empty(0, dtype=np.float64)
+        acc_hi = np.empty(0, dtype=np.float64)
 
         def decode_chunk(idx_list, doc_filter=None):
-            dl, sl = [], []
+            dl, sl, lol, hil = [], [], [], []
             for i in idx_list:
                 if doc_filter is not None:
                     # range skip: decode only blocks whose doc range can
@@ -603,13 +640,23 @@ def _bmw_group_fn(
                         continue
                 if _stats is not None:
                     _stats["decoded"] = _stats.get("decoded", 0) + 1
+                nlo = nhi = None
                 if raw_cfg is not None:
                     d, tfv, dlv = decode_block_raw(
                         docs_col[i], tfs_col[i], dls_col[i]
                     )
-                    # query-time weight from CURRENT stats (raw blocks
-                    # are immutable under collection growth)
-                    w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[i]
+                    if tfidf:
+                        # UNNORMALIZED tf·idf contribution — the exact
+                        # cosine divides by the CURRENT ‖d‖ after the
+                        # grouped stage (docnorm join in search_bmw);
+                        # dlv is the quantized encode-time norm ρq
+                        w = tfv.astype(np.float64) * s_t[i]
+                        nlo = dlv * glo[i]
+                        nhi = (dlv + 1.0) * ghi[i]
+                    else:
+                        # query-time weight from CURRENT stats (raw
+                        # blocks are immutable under collection growth)
+                        w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[i]
                 else:
                     d, w = decode_block(docs_col[i], ws_col[i])
                 if tomb is not None and d.size:
@@ -618,29 +665,46 @@ def _bmw_group_fn(
                     # bounds, just looser until compact())
                     m = _not_tombstoned(d, tomb)
                     d, w = d[m], w[m]
+                    if nlo is not None:
+                        nlo, nhi = nlo[m], nhi[m]
                 if n_groups > 1:
                     # subgroup ownership: this group scores ONLY its own
                     # doc shard (blocks of low-salt terms are replicated
                     # across subgroups; each keeps a disjoint doc subset)
                     m = doc_salt(d, n_groups) == grp
                     d, w = d[m], w[m]
+                    if nlo is not None:
+                        nlo, nhi = nlo[m], nhi[m]
                 if doc_filter is not None and d.size:
                     m = np.isin(d, doc_filter, assume_unique=True)
                     d, w = d[m], w[m]
+                    if nlo is not None:
+                        nlo, nhi = nlo[m], nhi[m]
                 if d.size:
                     dl.append(d)
                     sl.append(w.astype(np.float64) * qtf[i])
-            return dl, sl
+                    if nlo is not None:
+                        lol.append(nlo)
+                        hil.append(nhi)
+            return dl, sl, lol, hil
 
-        def merge(dl, sl):
-            nonlocal acc_d, acc_s
+        def merge(dl, sl, lol, hil):
+            nonlocal acc_d, acc_s, acc_lo, acc_hi
             if not dl:
                 return
             nd = np.concatenate(dl)
             uniq, inv = np.unique(nd, return_inverse=True)
             sums = np.bincount(inv, weights=np.concatenate(sl))
+            if tfidf:
+                # scatter (last write wins — per-doc values identical)
+                lo_u = np.empty(uniq.size, dtype=np.float64)
+                hi_u = np.empty(uniq.size, dtype=np.float64)
+                lo_u[inv] = np.concatenate(lol)
+                hi_u[inv] = np.concatenate(hil)
             if acc_d.size == 0:
                 acc_d, acc_s = uniq, sums
+                if tfidf:
+                    acc_lo, acc_hi = lo_u, hi_u
                 return
             pos = np.searchsorted(acc_d, uniq)
             hit = np.zeros(uniq.size, dtype=bool)
@@ -651,6 +715,9 @@ def _bmw_group_fn(
             if miss.any():
                 acc_d = np.insert(acc_d, pos[miss], uniq[miss])
                 acc_s = np.insert(acc_s, pos[miss], sums[miss])
+                if tfidf:
+                    acc_lo = np.insert(acc_lo, pos[miss], lo_u[miss])
+                    acc_hi = np.insert(acc_hi, pos[miss], hi_u[miss])
 
         # adaptive schedule: small early chunks → earlier termination
         # checks exactly where descending-ub mass is front-loaded
@@ -664,6 +731,22 @@ def _bmw_group_fn(
             pos += chunk
             chunk = min(chunk * 2, 4096)
             if acc_d.size >= k and pos < order.size:
+                if tfidf:
+                    # θ_low: k-th best certified NORMALIZED lower bound
+                    # (partial sums only grow — contributions are
+                    # nonnegative — and ‖d‖ ≤ acc_hi); suffix bounds
+                    # are already in normalized score space
+                    theta_low = float(
+                        np.partition(acc_s / acc_hi, -k)[-k]
+                    )
+                    remaining_ub = float(suffix_pos[pos])
+                    if remaining_ub < theta_low:
+                        cand = acc_d[
+                            acc_s / acc_lo + remaining_ub >= theta_low
+                        ]
+                        merge(*decode_chunk(order[pos:], doc_filter=cand))
+                        break
+                    continue
                 # θ_low: ≥ k docs end with final score ≥ θ_low (their
                 # partials can drop at most suffix_neg from here on)
                 theta_low = (
@@ -681,6 +764,21 @@ def _bmw_group_fn(
         uniq, sums = uniq[pos_mask], sums[pos_mask]
         if uniq.size == 0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        if tfidf:
+            # emit an UNNORMALIZED candidate superset: every doc whose
+            # upper bound reaches the k-th certified lower bound. Docs
+            # early-termination left with stale partials rank strictly
+            # below the fully-decoded true top-k after the exact
+            # docnorm division in search_bmw, so the final window never
+            # promotes them — emission inflation, not error.
+            lo_m, hi_m = acc_lo[pos_mask], acc_hi[pos_mask]
+            if uniq.size > k:
+                theta = float(np.partition(sums / hi_m, -k)[-k])
+                keep = sums / lo_m >= theta
+                uniq, sums = uniq[keep], sums[keep]
+            return pd.DataFrame(
+                {"query_id": qid, "doc_id": uniq, "score": sums}
+            )
         if uniq.size > k:
             # deterministic cut: score desc, doc_id asc — must match the
             # exact path's tie-break so rank-identity holds under ties
@@ -744,13 +842,14 @@ def search_bmw(
     # n_salts > n_groups — both must be powers of two. n_salts is by
     # construction; round the cap down to one (ADVICE r2).
     subgroup_cap = 1 << (subgroup_cap.bit_length() - 1)
-    if (
+    tfidf_raw = (
         index.manifest.cfg.get("storage", "weights") == "raw"
         and index.manifest.cfg.get("weighting", "bm25") == "tfidf"
-    ):
-        # tfidf+raw: block bounds would need per-block ‖d‖ minima,
-        # which go stale whenever idf moves (every refresh) — the
-        # sound path is bulk decode-score + docnorm join
+    )
+    gammas = _tfidf_raw_gammas(index) if tfidf_raw else None
+    if tfidf_raw and gammas is None:
+        # pre-quantization segments: their dls stream holds dl, not the
+        # quantized docnorm — block bounds are unsound there, bulk path
         return search_distributed(index, queries, k, _rows=_rows)
     rows = _matched_terms(index, queries) if _rows is None else _rows
     heavy = _heavy_rows or None
@@ -786,7 +885,7 @@ def search_bmw(
         raw_cfg = (
             float(cfgm["k1"]), float(cfgm["b"]),
             float(cfgm["epsilon"]), float(index.manifest.avgdl),
-            "bm25",  # tfidf+raw never reaches this path (routed above)
+            cfgm.get("weighting", "bm25"),
         )
         qt_rows = [
             (
@@ -821,36 +920,90 @@ def search_bmw(
                 + eps
             )
 
-        w1_hi = (
-            w1(F.col("max_tf").cast("double"), F.col("min_dl").cast("double"))
-            * (1.0 + 1e-9) + 1e-12
-        )
-        w1_lo = F.greatest(
-            F.lit(0.0),
-            w1(F.col("min_tf").cast("double"), F.col("max_dl").cast("double"))
-            * (1.0 - 1e-9) - 1e-12,
-        )
-        joined = (
-            _postings_for(index, rows + (heavy or []))
-            .join(F.broadcast(qt), "term_id")
-            .withColumn(
-                "max_w",
-                F.when(F.col("s_t") >= 0, F.col("s_t") * w1_hi).otherwise(
-                    F.col("s_t") * w1_lo
-                ),
+        if tfidf_raw:
+            # tfidf raw: the dls stream holds quantized encode-time
+            # docnorms ρq (codec.DNORM_SCALE); for any LIVE doc d in a
+            # block, ‖d‖_now ≥ γ_lo·min_ρq/S — so the NORMALIZED block
+            # bound is s_t·max_tf·S/(min_ρq·γ_lo). All contributions
+            # are nonnegative (idf > 0, query weights ≥ 0): min_w ≡ 0.
+            # The γ margins (1∓1e-9) absorb f64 division noise from
+            # the refresh-time drift-factor job.
+            from neural_cherche_spark.index.codec import DNORM_SCALE
+
+            gmap_lo = F.create_map(
+                *[
+                    F.lit(v)
+                    for s, (lo, hi) in gammas.items()
+                    for v in (s, lo * (1.0 - 1e-9))
+                ]
             )
-            .withColumn(
-                "min_w",
-                F.when(F.col("s_t") >= 0, F.col("s_t") * w1_lo).otherwise(
-                    F.col("s_t") * w1_hi
-                ),
+            gmap_hi = F.create_map(
+                *[
+                    F.lit(v)
+                    for s, (lo, hi) in gammas.items()
+                    for v in (s, hi * (1.0 + 1e-9))
+                ]
             )
-        )
-        group_cols = [
-            "query_id", "grp", "n_groups", "term_id", "salt",
-            "qtf", "s_t", "max_w", "min_w", "first_doc", "last_doc",
-            "docs", "tfs", "dls",
-        ]
+            joined = (
+                _postings_for(index, rows + (heavy or []))
+                .join(F.broadcast(qt), "term_id")
+                .withColumn(
+                    "glo", F.element_at(gmap_lo, F.col("seg").cast("int"))
+                )
+                .withColumn(
+                    "ghi", F.element_at(gmap_hi, F.col("seg").cast("int"))
+                )
+                .withColumn(
+                    "max_w",
+                    F.col("s_t")
+                    * F.col("max_tf").cast("double")
+                    * F.lit(float(DNORM_SCALE))
+                    / (F.col("min_dl").cast("double") * F.col("glo")),
+                )
+                .withColumn("min_w", F.lit(0.0))
+            )
+            group_cols = [
+                "query_id", "grp", "n_groups", "term_id", "salt",
+                "qtf", "s_t", "max_w", "min_w", "glo", "ghi",
+                "first_doc", "last_doc", "docs", "tfs", "dls",
+            ]
+        else:
+            w1_hi = (
+                w1(
+                    F.col("max_tf").cast("double"),
+                    F.col("min_dl").cast("double"),
+                )
+                * (1.0 + 1e-9) + 1e-12
+            )
+            w1_lo = F.greatest(
+                F.lit(0.0),
+                w1(
+                    F.col("min_tf").cast("double"),
+                    F.col("max_dl").cast("double"),
+                )
+                * (1.0 - 1e-9) - 1e-12,
+            )
+            joined = (
+                _postings_for(index, rows + (heavy or []))
+                .join(F.broadcast(qt), "term_id")
+                .withColumn(
+                    "max_w",
+                    F.when(
+                        F.col("s_t") >= 0, F.col("s_t") * w1_hi
+                    ).otherwise(F.col("s_t") * w1_lo),
+                )
+                .withColumn(
+                    "min_w",
+                    F.when(
+                        F.col("s_t") >= 0, F.col("s_t") * w1_lo
+                    ).otherwise(F.col("s_t") * w1_hi),
+                )
+            )
+            group_cols = [
+                "query_id", "grp", "n_groups", "term_id", "salt",
+                "qtf", "s_t", "max_w", "min_w", "first_doc", "last_doc",
+                "docs", "tfs", "dls",
+            ]
     else:
         raw_cfg = None
         qt_rows = [
@@ -943,7 +1096,24 @@ def search_bmw(
             _SCORE_SCHEMA,
         )
     )
-    if heavy:
+    if tfidf_raw:
+        # group emissions are UNNORMALIZED candidate supersets (each
+        # group keeps every doc whose upper bound reaches its certified
+        # k-th lower bound); the exact cosine divides by the CURRENT
+        # per-doc norm here — a doc-keyed join against the (already
+        # aggregated, query-bounded) candidate set, never the postings.
+        # The groupBy-sum restores exactness for heavy bulk partials
+        # and is a cheap no-op reduction for the doc-disjoint
+        # selective subgroups.
+        scored = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+            .join(index.docnorm, "doc_id")
+            .withColumn("score", F.col("score") / F.col("dnorm"))
+            .select("query_id", "doc_id", "score")
+            .filter(F.col("score") > 0)
+        )
+    elif heavy:
         # restore exactness for the bulk partials; a no-op for the
         # selective rows ((query, doc) unique across disjoint subgroups)
         scored = (
@@ -983,9 +1153,11 @@ def search_auto(
     if (
         index.manifest.cfg.get("storage", "weights") == "raw"
         and index.manifest.cfg.get("weighting", "bm25") == "tfidf"
+        and _tfidf_raw_gammas(index) is None
     ):
-        # tfidf+raw has one sound path (see search_bmw routing): no
-        # point splitting the batch just to union two identical modes
+        # tfidf+raw with pre-quantization segments has one sound path
+        # (see search_bmw routing): no point splitting the batch just
+        # to union two identical modes
         return search_distributed(index, queries, k, _rows=_rows)
     rows = _matched_terms(index, queries) if _rows is None else _rows
     if not rows:

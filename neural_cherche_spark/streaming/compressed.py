@@ -732,6 +732,56 @@ class CompressedIndexStream:
             )
             walls["docnorm"] = time.perf_counter() - t0
 
+        # ---- dnorm drift factors (tfidf only) ------------------------------
+        # Old segments' blocks were quantized against an OLDER docnorm
+        # revision; block-max bounds stay sound by scaling with the
+        # global min/max of dnorm_new/dnorm_prev over surviving docs
+        # (one O(n_docs) scalar-join job, only on non-frozen tfidf
+        # refreshes — frozen refreshes keep old norms verbatim, ratio
+        # exactly 1). Factors COMPOUND per refresh: product of per-step
+        # mins lower-bounds the true ratio (sound, monotonically
+        # looser; compact() re-quantizes and resets to [1, 1]).
+        dnorm_gammas: dict = {}
+        if weighting == "tfidf":
+            prev_g = (
+                dict(getattr(manifest, "dnorm_gammas", {}) or {})
+                if prev_ok
+                else {}
+            )
+            step_lo = step_hi = 1.0
+            prev_dn_path = (
+                getattr(manifest, "docnorm_path", "") or "" if prev_ok else ""
+            )
+            if prev_ok and not frozen and prev_dn_path and prev_g:
+                r = (
+                    spark.read.parquet(cat.path(docnorm_path))
+                    .withColumnRenamed("dnorm", "dn_new")
+                    .join(
+                        spark.read.parquet(cat.path(prev_dn_path))
+                        .withColumnRenamed("dnorm", "dn_old"),
+                        "doc_id",
+                    )
+                    .agg(
+                        F.min(F.col("dn_new") / F.col("dn_old")).alias("lo"),
+                        F.max(F.col("dn_new") / F.col("dn_old")).alias("hi"),
+                    )
+                    .collect()[0]
+                )
+                # empty join (no doc survived) ⇒ old segments are fully
+                # tombstoned; any factor is vacuously sound
+                step_lo = float(r["lo"]) if r["lo"] is not None else 1.0
+                step_hi = float(r["hi"]) if r["hi"] is not None else 1.0
+            for s in manifest.segments if prev_ok else []:
+                key = str(int(s["seg"]))
+                if key in prev_g:
+                    dnorm_gammas[key] = [
+                        float(prev_g[key][0]) * step_lo,
+                        float(prev_g[key][1]) * step_hi,
+                    ]
+                # segments without an entry (pre-quantization layout:
+                # their dls stream holds dl, not ρq) stay uncovered —
+                # the query router keeps the index on the bulk path
+
         # ---- new segment: encode ONLY the new batches ----------------------
         t0 = time.perf_counter()
         seg_id = (
@@ -764,6 +814,26 @@ class CompressedIndexStream:
             # segment; docs deleted from OLD segments stay as masked
             # tombstones until compact()
             enc_src = enc_src.join(tomb, "doc_id", "left_anti")
+        if weighting == "tfidf":
+            # the dl slot of a tfidf raw block carries the quantized
+            # encode-time docnorm ρq (codec.DNORM_SCALE) — the cosine
+            # never reads dl, and block min_dl/max_dl become sound
+            # per-block norm bounds for the block-max query path
+            from neural_cherche_spark.index.codec import DNORM_SCALE
+
+            enc_src = (
+                enc_src.drop("dl")
+                .join(
+                    spark.read.parquet(cat.path(docnorm_path)), "doc_id"
+                )
+                .withColumn(
+                    "dl",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(F.col("dnorm") * F.lit(float(DNORM_SCALE))),
+                    ).cast("long"),
+                )
+            )
         w = (
             enc_src.join(
                 F.broadcast(
@@ -870,6 +940,9 @@ class CompressedIndexStream:
                     "n_postings": seg_n_postings,
                 }
             ]
+            if weighting == "tfidf":
+                # quantized against THIS refresh's docnorm: exact
+                dnorm_gammas[str(seg_id)] = [1.0, 1.0]
         else:
             covered = covered + list(new_batches)
 
@@ -902,6 +975,7 @@ class CompressedIndexStream:
             segments=segments,
             termdict_path=termdict_path,
             docnorm_path=docnorm_path,
+            dnorm_gammas=dnorm_gammas,
             stats_frozen=frozen,
             tombstones_path=tombstones_path,
             applied_delete_batches=n_del_batches,
