@@ -341,6 +341,60 @@ def decode_block_raw(
     )
 
 
+def _segmented_doc_ids(gaps: np.ndarray, ns: np.ndarray) -> np.ndarray:
+    """Concatenated per-block delta-gap streams → absolute doc ids.
+
+    Each block's first gap is encoded as doc+1 (codec invariant); the
+    cumulative sum is reset per block by subtracting the running total
+    at each block start — all C-level, no per-block loop."""
+    gaps = gaps.astype(np.int64)
+    starts = np.zeros(ns.size, dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    gaps[starts] -= 1
+    c = np.cumsum(gaps)
+    base = np.zeros(ns.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, ns)
+
+
+def decode_blocks_batched(
+    docs_bins: list, ws_bins: list, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY weight-storage blocks in one vectorized pass:
+    varint streams are self-delimiting, so the per-block buffers
+    concatenate into a single decode; doc-id cumsums are segmented by
+    the per-block posting counts ``ns`` (the metadata ``n`` column).
+
+    This is the hot-path twin of :func:`decode_block`: per-block
+    decode costs ~100 µs of small-array numpy overhead, so a group
+    with 10^4 blocks spent ~1 s/query in per-block calls — batching
+    makes the whole chunk a handful of C passes (round-5 large-corpus
+    QPS work)."""
+    ns = np.asarray(ns, dtype=np.int64)
+    if ns.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    gaps = varint_decode(b"".join(docs_bins))
+    doc_ids = _segmented_doc_ids(gaps, ns)
+    weights = np.frombuffer(b"".join(ws_bins), dtype=np.float32)
+    return doc_ids, weights
+
+
+def decode_blocks_raw_batched(
+    docs_bins: list, tfs_bins: list, dls_bins: list, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RAW-storage twin of :func:`decode_blocks_batched` →
+    (doc_ids, tf, dl) concatenated across blocks."""
+    ns = np.asarray(ns, dtype=np.int64)
+    if ns.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    gaps = varint_decode(b"".join(docs_bins))
+    doc_ids = _segmented_doc_ids(gaps, ns)
+    tfs = varint_decode(b"".join(tfs_bins)).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bins)).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
 def bm25_w1(
     tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float,
     epsilon: float = 0.0,

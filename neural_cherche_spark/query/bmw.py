@@ -257,8 +257,8 @@ _PAIRS_PER_TASK = 250_000
 
 
 def _partial_scores_for_batch(
-    pdf: pd.DataFrame, qmap: dict, raw_cfg, tomb
-) -> pd.DataFrame | None:
+    pdf: pd.DataFrame, qmap: dict, raw_cfg, tomb, _packed: bool = False
+) -> pd.DataFrame | tuple | None:
     """Decode one pandas batch of postings blocks ONCE, fan out to all
     matching queries via the ``{term_id: (qids[], qtfs[][, s_t])}``
     map, and pre-aggregate to per-(query, doc) partial sums. Shared by
@@ -267,67 +267,73 @@ def _partial_scores_for_batch(
 
     The (posting × matching-query) expansion — the irreducible work of
     exact scoring — is a handful of C-level numpy ops per TERM
-    (tile/repeat/outer), and the per-batch combine is one np.unique
-    over packed (query_id, doc_id) keys. No per-block Python loops on
-    tiny arrays."""
+    (tile/repeat/outer), the block decode is BATCHED (one concatenated
+    varint pass per pandas batch, segmented by the metadata ``n``
+    column — per-block decode calls were the dominant Python cost on
+    large corpora), and the per-batch combine is one np.unique over
+    packed (query_id, doc_id) keys. No per-block Python loops on tiny
+    arrays."""
     from neural_cherche_spark.index.codec import (
         bm25_w1,
-        decode_block,
-        decode_block_raw,
+        decode_blocks_batched,
+        decode_blocks_raw_batched,
     )
 
     mask = (1 << _DOC_BITS) - 1
-    per_term: dict[int, tuple[list, list]] = {}
+    tid_col = pdf["term_id"].to_numpy(dtype=np.int64)
+    matched = np.array([int(t) in qmap for t in tid_col], dtype=bool)
+    if not matched.any():
+        return None
+    sel = np.flatnonzero(matched)
+    ns = pdf["n"].to_numpy(dtype=np.int64)[sel]
+    docs_bins = [pdf["docs"].iat[i] for i in sel]
     if raw_cfg is not None:
         k1, b, eps, avgdl, weighting = raw_cfg
         tfidf = weighting == "tfidf"
-        for tid, docs_bin, tfs_bin, dls_bin in zip(
-            pdf["term_id"], pdf["docs"], pdf["tfs"], pdf["dls"]
-        ):
-            hit = qmap.get(int(tid))
-            if hit is None:
-                continue
-            d, tfv, dlv = decode_block_raw(docs_bin, tfs_bin, dls_bin)
-            if tfidf:
-                # unnormalized tf·idf — the per-doc L2 norm is
-                # divided out AFTER aggregation (docnorm join
-                # in search_distributed)
-                w = tfv.astype(np.float64) * hit[2]
-            else:
-                # query-time weight from CURRENT stats:
-                # w1 · idf/norm
-                w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * hit[2]
-            if tomb is not None and d.size:
-                keep = _not_tombstoned(d, tomb)
-                d, w = d[keep], w[keep]
-            buf = per_term.setdefault(int(tid), ([], []))
-            buf[0].append(d)
-            buf[1].append(w)
+        d, tfv, dlv = decode_blocks_raw_batched(
+            docs_bins,
+            [pdf["tfs"].iat[i] for i in sel],
+            [pdf["dls"].iat[i] for i in sel],
+            ns,
+        )
+        # per-posting query-side scale s_t, fanned out per block
+        st_b = np.array(
+            [float(qmap[int(tid_col[i])][2]) for i in sel], dtype=np.float64
+        )
+        st_p = np.repeat(st_b, ns)
+        if tfidf:
+            # unnormalized tf·idf — the per-doc L2 norm is divided out
+            # AFTER aggregation (docnorm join in search_distributed)
+            w = tfv.astype(np.float64) * st_p
+        else:
+            # query-time weight from CURRENT stats: w1 · idf/norm
+            w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * st_p
     else:
-        for tid, docs_bin, ws_bin in zip(
-            pdf["term_id"], pdf["docs"], pdf["ws"]
-        ):
-            hit = qmap.get(int(tid))
-            if hit is None:
-                continue
-            d, w = decode_block(docs_bin, ws_bin)
-            if tomb is not None and d.size:
-                keep = _not_tombstoned(d, tomb)
-                d, w = d[keep], w[keep]
-            buf = per_term.setdefault(int(tid), ([], []))
-            buf[0].append(d)
-            buf[1].append(w)
-    if not per_term:
+        d, w32 = decode_blocks_batched(
+            docs_bins, [pdf["ws"].iat[i] for i in sel], ns
+        )
+        w = w32.astype(np.float64)
+    tid_p = np.repeat(tid_col[sel], ns)
+    if tomb is not None and d.size:
+        keep = _not_tombstoned(d, tomb)
+        d, w, tid_p = d[keep], w[keep], tid_p[keep]
+    if d.size == 0:
         return None
+    # per-term contiguous slices for the K×n expansion
+    order = np.argsort(tid_p, kind="stable")
+    d, w, tid_p = d[order], w[order], tid_p[order]
+    bounds = np.flatnonzero(np.diff(tid_p)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [tid_p.size]))
     key_parts, val_parts = [], []
-    for tid, (dl, wl) in per_term.items():
-        d = np.concatenate(dl)
-        w = np.concatenate(wl).astype(np.float64)
+    for s0, e0 in zip(starts, ends):
+        tid = int(tid_p[s0])
+        ds, wsl = d[s0:e0], w[s0:e0]
         qids, qtfs = qmap[tid][0], qmap[tid][1]
         # K×n expansion in C: scores outer product, keys packed
-        scores = (qtfs[:, None] * w[None, :]).ravel()
+        scores = (qtfs[:, None] * wsl[None, :]).ravel()
         keys = (
-            (qids.astype(np.int64) << _DOC_BITS)[:, None] | d[None, :]
+            (qids.astype(np.int64) << _DOC_BITS)[:, None] | ds[None, :]
         ).ravel()
         key_parts.append(keys)
         val_parts.append(scores)
@@ -335,6 +341,10 @@ def _partial_scores_for_batch(
     val = np.concatenate(val_parts)
     uk, inv = np.unique(key, return_inverse=True)
     sums = np.bincount(inv, weights=val)
+    if _packed:
+        # caller (_decode_score_fn) defers the cross-batch combine:
+        # per-batch unique'd packed keys bound its buffer growth
+        return uk, sums
     return pd.DataFrame(
         {
             "query_id": (uk >> _DOC_BITS).astype(np.int64),
@@ -344,23 +354,90 @@ def _partial_scores_for_batch(
     )
 
 
+# flush threshold for the cross-batch partial accumulator in
+# _decode_score_fn: combine is deferred until this many (query, doc)
+# pairs are buffered (~16 B/pair → ~128 MB ceiling per task), so a doc
+# scored across many Arrow batches emits ONE partial per task instead
+# of one per batch — per-batch emission was the dominant cost of the
+# bulk path on large corpora (every 10k-block batch re-emitted its own
+# copy of the hot docs).
+_PARTIAL_FLUSH_PAIRS = 8_000_000
+
+
 def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
     """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
     inside the worker via a broadcast {term_id: (qids[], qtfs[])}
     dict, so a hot block shared by Q queries is shuffled and decoded
     ONCE, not Q times (a per-query join would duplicate every
     stopword-gram block once per matching query). Scoring body shared
-    with the unified auto path: :func:`_partial_scores_for_batch`."""
+    with the unified auto path: :func:`_partial_scores_for_batch`.
+
+    Partials are accumulated ACROSS the task's Arrow batches (packed
+    int64 keys) and combined once per ~:data:`_PARTIAL_FLUSH_PAIRS`
+    buffered pairs — the map-side combine the downstream
+    groupBy(query_id, doc_id).sum relies on to stay small."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qmap = qmap_bc.value
         tomb = tomb_bc.value if tomb_bc is not None else None
+        mask = (1 << _DOC_BITS) - 1
+        key_buf: list[np.ndarray] = []
+        val_buf: list[np.ndarray] = []
+        buffered = 0
+
+        def combined() -> pd.DataFrame:
+            key = np.concatenate(key_buf)
+            val = np.concatenate(val_buf)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.bincount(inv, weights=val)
+            return pd.DataFrame(
+                {
+                    "query_id": (uk >> _DOC_BITS).astype(np.int64),
+                    "doc_id": (uk & mask).astype(np.int64),
+                    "score": sums,
+                }
+            )
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = _partial_scores_for_batch(pdf, qmap, raw_cfg, tomb)
-            if out is not None:
-                yield out
+            out = _partial_scores_for_batch(
+                pdf, qmap, raw_cfg, tomb, _packed=True
+            )
+            if out is None:
+                continue
+            key_buf.append(out[0])
+            val_buf.append(out[1])
+            buffered += out[0].size
+            if buffered >= _PARTIAL_FLUSH_PAIRS:
+                yield combined()
+                key_buf, val_buf, buffered = [], [], 0
+        if key_buf:
+            yield combined()
+
+    return run
+
+
+def _local_topk_fn(k: int):
+    """Partition-local exact top-k per query over final (query, doc,
+    score) rows — the map-side cut before the global rank window.
+    After the (query_id, doc_id) aggregation every pair is globally
+    unique, so the union of per-partition top-k is a superset of the
+    global top-k: the window's sort input shrinks from the full
+    candidate set (25.6M rows on the 100k-doc/256-query probe) to
+    ≤ partitions·queries·k rows. Tie-break matches the window exactly
+    (score desc, doc_id asc)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), -pdf["score"].to_numpy())
+        )
+        pdf = pdf.iloc[order]
+        yield pdf.groupby("query_id", sort=False).head(k)
 
     return run
 
@@ -391,7 +468,7 @@ def search_distributed(
             )
             for r in rows
         }
-        cols = ("term_id", "docs", "tfs", "dls")
+        cols = ("term_id", "n", "first_doc", "docs", "tfs", "dls")
     else:
         raw_cfg = None
         qmap = {
@@ -401,7 +478,7 @@ def search_distributed(
             )
             for r in rows
         }
-        cols = ("term_id", "docs", "ws")
+        cols = ("term_id", "n", "first_doc", "docs", "ws")
     sc = index.spark.sparkContext
     qmap_bc = sc.broadcast(qmap)
     # coalesce (no shuffle) to a VOLUME-driven task count — tasks
@@ -422,13 +499,32 @@ def search_distributed(
     tomb_bc = (
         index._tombstone_bc() if hasattr(index, "_tombstone_bc") else None
     )
-    partial = (
-        _postings_for(index, rows)
-        .select(*cols)
-        .coalesce(int(n_tasks))
-        .mapInPandas(
-            _decode_score_fn(qmap_bc, raw_cfg, tomb_bc), _SCORE_SCHEMA
+    scan = _postings_for(index, rows).select(*cols)
+    # coalesce can only REDUCE partition count: a compact index whose
+    # pruned scan has fewer file splits than the volume-driven task
+    # count would otherwise run the whole decode on a few cores (on a
+    # 100k-doc/500 MB index the scan is ~8 splits — the decode stage
+    # ran 8-wide on 32 cores). When the scan is narrower than the
+    # target, one round-robin shuffle of the pruned block rows buys
+    # full width — small against the decode+expand work it parallelizes
+    # (and the volume-driven task count, the r2 scaling property, is
+    # preserved either way).
+    natural = scan.rdd.getNumPartitions()
+    if natural >= n_tasks:
+        scan = scan.coalesce(int(n_tasks))
+    else:
+        # partition by COARSE DOC REGION (first_doc >> 8), not round
+        # robin: blocks of DIFFERENT terms covering the same docs land
+        # in the same task, so a doc scored by T matched terms emits
+        # ~1 partial instead of T — the emission volume (409M rows on
+        # the 100k-doc/256-query probe, ~16× the final candidate set)
+        # was the dominant wall of this path. Heavy terms' blocks are
+        # doc-dense (~1-2 regions each), exactly where the pairs are.
+        scan = scan.repartition(
+            int(n_tasks), F.shiftright(F.col("first_doc"), 8)
         )
+    partial = scan.mapInPandas(
+        _decode_score_fn(qmap_bc, raw_cfg, tomb_bc), _SCORE_SCHEMA
     )
     scored = partial.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
@@ -444,7 +540,9 @@ def search_distributed(
             .withColumn("score", F.col("score") / F.col("dnorm"))
             .select("query_id", "doc_id", "score")
         )
-    scored = scored.filter(F.col("score") > 0)
+    scored = scored.filter(F.col("score") > 0).mapInPandas(
+        _local_topk_fn(k), _SCORE_SCHEMA
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -562,8 +660,8 @@ def _bmw_group_fn(
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from neural_cherche_spark.index.codec import (
             bm25_w1,
-            decode_block,
-            decode_block_raw,
+            decode_blocks_batched,
+            decode_blocks_raw_batched,
             doc_salt,
         )
 
@@ -591,6 +689,7 @@ def _bmw_group_fn(
         if ub_pos[order[0]] <= 0.0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
+        n_col = pdf["n"].to_numpy(dtype=np.int64)
         tfidf = raw_cfg is not None and raw_cfg[4] == "tfidf"
         if raw_cfg is not None:
             k1, b, eps, avgdl = raw_cfg[:4]
@@ -630,63 +729,89 @@ def _bmw_group_fn(
         acc_hi = np.empty(0, dtype=np.float64)
 
         def decode_chunk(idx_list, doc_filter=None):
-            dl, sl, lol, hil = [], [], [], []
-            for i in idx_list:
-                if doc_filter is not None:
-                    # range skip: decode only blocks whose doc range can
-                    # contain a surviving candidate
-                    lo = np.searchsorted(doc_filter, first_doc[i])
-                    if lo >= doc_filter.size or doc_filter[lo] > last_doc[i]:
-                        continue
-                if _stats is not None:
-                    _stats["decoded"] = _stats.get("decoded", 0) + 1
-                nlo = nhi = None
-                if raw_cfg is not None:
-                    d, tfv, dlv = decode_block_raw(
-                        docs_col[i], tfs_col[i], dls_col[i]
-                    )
-                    if tfidf:
-                        # UNNORMALIZED tf·idf contribution — the exact
-                        # cosine divides by the CURRENT ‖d‖ after the
-                        # grouped stage (docnorm join in search_bmw);
-                        # dlv is the quantized encode-time norm ρq
-                        w = tfv.astype(np.float64) * s_t[i]
-                        nlo = dlv * glo[i]
-                        nhi = (dlv + 1.0) * ghi[i]
-                    else:
-                        # query-time weight from CURRENT stats (raw
-                        # blocks are immutable under collection growth)
-                        w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[i]
+            """Decode a CHUNK of blocks in one batched pass: varint
+            streams concatenate (self-delimiting), doc-id cumsums are
+            segmented by the metadata ``n`` column, and every
+            per-posting factor fans out via one np.repeat — a group
+            with 10^4 blocks previously paid ~100 µs of small-array
+            numpy overhead PER BLOCK in this loop (the dominant
+            large-corpus query cost once bounds can't prune)."""
+            idx = np.asarray(idx_list, dtype=np.int64)
+            if doc_filter is not None and idx.size:
+                # vectorized range skip: keep only blocks whose
+                # [first_doc, last_doc] range can contain a candidate
+                lo = np.searchsorted(doc_filter, first_doc[idx])
+                ok = lo < doc_filter.size
+                ok[ok] = doc_filter[lo[ok]] <= last_doc[idx[ok]]
+                idx = idx[ok]
+            if idx.size == 0:
+                return [], [], [], []
+            if _stats is not None:
+                _stats["decoded"] = _stats.get("decoded", 0) + int(idx.size)
+            ns = n_col[idx]
+            nlo = nhi = None
+            if raw_cfg is not None:
+                d, tfv, dlv = decode_blocks_raw_batched(
+                    [docs_col[i] for i in idx],
+                    [tfs_col[i] for i in idx],
+                    [dls_col[i] for i in idx],
+                    ns,
+                )
+                bi = np.repeat(idx, ns)  # source block per posting
+                if tfidf:
+                    # UNNORMALIZED tf·idf contribution — the exact
+                    # cosine divides by the CURRENT ‖d‖ after the
+                    # grouped stage (docnorm join in search_bmw);
+                    # dlv is the quantized encode-time norm ρq
+                    w = tfv.astype(np.float64) * s_t[bi]
+                    nlo = dlv * glo[bi]
+                    nhi = (dlv + 1.0) * ghi[bi]
                 else:
-                    d, w = decode_block(docs_col[i], ws_col[i])
-                if tomb is not None and d.size:
-                    # deleted docs are masked BEFORE top-k selection:
-                    # block bounds still include them (sound upper
-                    # bounds, just looser until compact())
-                    m = _not_tombstoned(d, tomb)
-                    d, w = d[m], w[m]
-                    if nlo is not None:
-                        nlo, nhi = nlo[m], nhi[m]
-                if n_groups > 1:
-                    # subgroup ownership: this group scores ONLY its own
-                    # doc shard (blocks of low-salt terms are replicated
-                    # across subgroups; each keeps a disjoint doc subset)
-                    m = doc_salt(d, n_groups) == grp
-                    d, w = d[m], w[m]
-                    if nlo is not None:
-                        nlo, nhi = nlo[m], nhi[m]
-                if doc_filter is not None and d.size:
-                    m = np.isin(d, doc_filter, assume_unique=True)
-                    d, w = d[m], w[m]
-                    if nlo is not None:
-                        nlo, nhi = nlo[m], nhi[m]
-                if d.size:
-                    dl.append(d)
-                    sl.append(w.astype(np.float64) * qtf[i])
-                    if nlo is not None:
-                        lol.append(nlo)
-                        hil.append(nhi)
-            return dl, sl, lol, hil
+                    # query-time weight from CURRENT stats (raw
+                    # blocks are immutable under collection growth)
+                    w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[bi]
+            else:
+                d, w32 = decode_blocks_batched(
+                    [docs_col[i] for i in idx],
+                    [ws_col[i] for i in idx],
+                    ns,
+                )
+                bi = np.repeat(idx, ns)
+                w = w32.astype(np.float64)
+            w = w * qtf[bi]
+            if tomb is not None and d.size:
+                # deleted docs are masked BEFORE top-k selection:
+                # block bounds still include them (sound upper
+                # bounds, just looser until compact())
+                m = _not_tombstoned(d, tomb)
+                d, w = d[m], w[m]
+                if nlo is not None:
+                    nlo, nhi = nlo[m], nhi[m]
+            if n_groups > 1:
+                # subgroup ownership: this group scores ONLY its own
+                # doc shard (blocks of low-salt terms are replicated
+                # across subgroups; each keeps a disjoint doc subset)
+                m = doc_salt(d, n_groups) == grp
+                d, w = d[m], w[m]
+                if nlo is not None:
+                    nlo, nhi = nlo[m], nhi[m]
+            if doc_filter is not None and d.size:
+                # exact membership via searchsorted (d has cross-run
+                # duplicates, so isin(assume_unique) would be unsound)
+                p = np.searchsorted(doc_filter, d)
+                m = p < doc_filter.size
+                m[m] = doc_filter[p[m]] == d[m]
+                d, w = d[m], w[m]
+                if nlo is not None:
+                    nlo, nhi = nlo[m], nhi[m]
+            if d.size == 0:
+                return [], [], [], []
+            return (
+                [d],
+                [w],
+                [nlo] if nlo is not None else [],
+                [nhi] if nhi is not None else [],
+            )
 
         def merge(dl, sl, lol, hil):
             nonlocal acc_d, acc_s, acc_lo, acc_hi
@@ -963,7 +1088,7 @@ def search_bmw(
                 .withColumn("min_w", F.lit(0.0))
             )
             group_cols = [
-                "query_id", "grp", "n_groups", "term_id", "salt",
+                "query_id", "grp", "n_groups", "term_id", "salt", "n",
                 "qtf", "s_t", "max_w", "min_w", "glo", "ghi",
                 "first_doc", "last_doc", "docs", "tfs", "dls",
             ]
@@ -1000,7 +1125,7 @@ def search_bmw(
                 )
             )
             group_cols = [
-                "query_id", "grp", "n_groups", "term_id", "salt",
+                "query_id", "grp", "n_groups", "term_id", "salt", "n",
                 "qtf", "s_t", "max_w", "min_w", "first_doc", "last_doc",
                 "docs", "tfs", "dls",
             ]
@@ -1029,7 +1154,7 @@ def search_bmw(
             F.broadcast(qt), "term_id"
         )
         group_cols = [
-            "query_id", "grp", "n_groups", "term_id", "salt",
+            "query_id", "grp", "n_groups", "term_id", "salt", "n",
             "qtf", "max_w", "min_w", "first_doc", "last_doc",
             "docs", "ws",
         ]
@@ -1112,14 +1237,18 @@ def search_bmw(
             .withColumn("score", F.col("score") / F.col("dnorm"))
             .select("query_id", "doc_id", "score")
             .filter(F.col("score") > 0)
+            .mapInPandas(_local_topk_fn(k), _SCORE_SCHEMA)
         )
     elif heavy:
         # restore exactness for the bulk partials; a no-op for the
-        # selective rows ((query, doc) unique across disjoint subgroups)
+        # selective rows ((query, doc) unique across disjoint
+        # subgroups). Heavy queries' full candidate sets would
+        # otherwise flood the rank window — cut map-side first.
         scored = (
             scored.groupBy("query_id", "doc_id")
             .agg(F.sum("score").alias("score"))
             .filter(F.col("score") > 0)
+            .mapInPandas(_local_topk_fn(k), _SCORE_SCHEMA)
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

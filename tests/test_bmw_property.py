@@ -59,6 +59,7 @@ def _build_group(rng, n_docs, n_terms, n_groups):
                     {
                         "term_id": enc["term_id"],
                         "salt": enc["salt"],
+                        "n": enc["n"],
                         "qtf": qtf,
                         "max_w": enc["max_w"],
                         "min_w": enc["min_w"],
@@ -138,7 +139,8 @@ def test_adaptive_chunks_prune_skewed_groups():
         docs_t, w.astype(np.float32), block_size=8,
     )
     frames.append(pd.DataFrame({
-        "term_id": enc["term_id"], "salt": enc["salt"], "qtf": 3.0,
+        "term_id": enc["term_id"], "salt": enc["salt"], "n": enc["n"],
+        "qtf": 3.0,
         "max_w": enc["max_w"], "min_w": enc["min_w"],
         "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
         "docs": enc["docs"], "ws": enc["ws"],
@@ -152,7 +154,8 @@ def test_adaptive_chunks_prune_skewed_groups():
         docs_t, w.astype(np.float32), block_size=8,
     )
     frames.append(pd.DataFrame({
-        "term_id": enc["term_id"], "salt": enc["salt"], "qtf": 1.0,
+        "term_id": enc["term_id"], "salt": enc["salt"], "n": enc["n"],
+        "qtf": 1.0,
         "max_w": enc["max_w"], "min_w": enc["min_w"],
         "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
         "docs": enc["docs"], "ws": enc["ws"],

@@ -124,8 +124,11 @@ def test_raw_distributed_plan_single_python_stage(spark, corpus, tmp_path):
     )
     queries = synth_queries(spark, 3, seed=4)
     plan = _plan(search_distributed(idx, queries, k=5))
-    # one Arrow-batched decode stage; no row-at-a-time Python
-    assert plan.count("MapInPandas") == 1
+    # Arrow-batched Python only: the decode stage plus the post-agg
+    # partition-local top-k cut (round-5) — and exactly ONE scan, so
+    # the decode still reads the postings once
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan
     assert "PushedFilters: [" in plan and "term_id" in plan
 
@@ -158,7 +161,10 @@ def test_auto_mixed_routing_is_single_scan(spark, corpus, tmp_path):
         plan = _plan(res)
         assert plan.count("Scan parquet") == 1, storage
         assert plan.count("FlatMapGroupsInPandas") == 1, storage
-        assert "MapInPandas" not in plan, storage
+        # the only MapInPandas allowed is the POST-aggregation local
+        # top-k cut (round-5) — a second one would mean a separate
+        # bulk decode plan, i.e. the r4 two-plan regression
+        assert plan.count("MapInPandas") <= 1, storage
         assert "BroadcastHashJoin" in plan, storage
         assert "PushedFilters: [" in plan and "term_id" in plan, storage
 

@@ -49,6 +49,7 @@ def _tfidf_block_frame(term_id, s_t, qtf, docs_t, tfs_t, rq_t, block_size=8):
         {
             "term_id": enc["term_id"],
             "salt": enc["salt"],
+            "n": enc["n"],
             "qtf": qtf,
             "s_t": s_t,
             "max_w": s_t
