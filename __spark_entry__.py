@@ -257,6 +257,26 @@ def _q_bm25_topk_compressed(mode: str):
     return q
 
 
+def _q_bm25_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the SERVING path under a VOCABULARY-
+    FILTERED prepare (round-5, VERDICT r4 #6): prepare_serving(queries=
+    workload) collects only the workload's grams into the driver map
+    (bounded memory at 10^7+-term vocabularies) and search_serving
+    answers with one Spark job per call — results must match the same
+    exact oracle as the batch compressed gates (QUERY_SET ids are the
+    list positions, so query_id lines up with the oracle's)."""
+    idx = _entry_index(spark, sf_dir)
+    texts = [q for _, q in QUERY_SET]
+    try:
+        idx.prepare_serving(queries=texts)
+        return _rank_on_grid(
+            idx.search_serving(texts, k=TOP_K, mode="bmw"), _COMPRESSED_DP
+        )
+    finally:
+        idx._serving = None
+        idx._serving_prepared = None
+
+
 def _rank_on_grid(res: DataFrame, dp: int) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1002,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_weights": _q_bm25_weights,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
+        "bm25_topk_serving": _q_bm25_topk_serving,
         "bm25_topk_raw_bmw": _q_bm25_topk_raw_bmw,
         "bm25_topk_delta": _q_bm25_topk_delta,
         "bm25_topk_delete": _q_bm25_topk_delete,
@@ -1110,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         """
             for name in (
                 "bm25_topk_bmw",
+                "bm25_topk_serving",
                 "bm25_topk_distributed",
                 "bm25_topk_raw_bmw",
                 "bm25_topk_delta",

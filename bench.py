@@ -172,8 +172,15 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
     docs = spark.read.parquet(corpus_path)
     queries = synth_queries(spark, 256, seed=41).cache()
     n_q = queries.count()
+    # per-query serving latency sample (north-rule QPS surface is a
+    # SINGLE query through the serving map — the batch wall hides the
+    # tail): 48 one-query calls per round, percentiles across the round
+    serve_texts = [
+        r["query"]
+        for r in sorted(queries.collect(), key=lambda r: r["query_id"])[:48]
+    ]
 
-    builds, qwalls = [], []
+    builds, qwalls, p50s, p95s = [], [], [], []
     index = None
     for _ in range(rounds):
         idx_dir = f"{work}/bench_large_idx"
@@ -187,6 +194,16 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
         t0 = time.perf_counter()
         index.search(queries, k=10, mode="bmw").collect()
         qwalls.append(time.perf_counter() - t0)
+        index.prepare_serving()
+        index.search_serving(serve_texts[:4], k=10).collect()  # warmup
+        lat = []
+        for qt in serve_texts:
+            t0 = time.perf_counter()
+            index.search_serving([qt], k=10).collect()
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
+        p50s.append(lat[len(lat) // 2])
+        p95s.append(lat[min(len(lat) - 1, int(len(lat) * 0.95))])
         index.close()
     queries.unpersist()
     return {
@@ -199,6 +216,10 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
         "query_bmw_sec": round(_median(qwalls), 3),
         "query_bmw_spread": round(_spread(qwalls), 3),
         "qps_bmw": round(n_q / _median(qwalls), 2),
+        "serving_p50_ms": round(_median(p50s), 1),
+        "serving_p50_spread": round(_spread(p50s), 3),
+        "serving_p95_ms": round(_median(p95s), 1),
+        "serving_p95_spread": round(_spread(p95s), 3),
     }
 
 

@@ -51,16 +51,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from neural_cherche_spark.index.tombmask import keep_mask
 from neural_cherche_spark.query.exact import query_term_counts
-
-def _not_tombstoned(d: np.ndarray, tomb: np.ndarray) -> np.ndarray:
-    """Boolean keep-mask over decoded doc ids vs the sorted tombstone
-    array — one searchsorted pass, O(n log m)."""
-    pos = np.searchsorted(tomb, d)
-    hit = np.zeros(d.size, dtype=bool)
-    inb = pos < tomb.size
-    hit[inb] = tomb[pos[inb]] == d[inb]
-    return ~hit
 
 
 _SCORE_SCHEMA = StructType(
@@ -159,6 +151,7 @@ def serving_match_rows(index, queries: list[str]) -> list:
     smap = index._serving
     if smap is None:
         raise RuntimeError("call prepare_serving() first")
+    prepared = getattr(index, "_serving_prepared", None)
     cfg = index.manifest.cfg
     n_min, n_max = int(cfg["n_min"]), int(cfg["n_max"])
     per_term: dict[str, dict] = {}
@@ -168,8 +161,17 @@ def serving_match_rows(index, queries: list[str]) -> list:
             counts[t] = counts.get(t, 0) + 1
         for term, qtf in counts.items():
             info = smap.get(term)
-            if info is None:  # frozen vocabulary: unseen terms drop
-                continue
+            if info is None:
+                if prepared is not None and term not in prepared:
+                    # vocabulary-filtered prepare: this gram was never
+                    # checked against the termdict — dropping it could
+                    # silently lose a real vocabulary term, so refuse
+                    raise ValueError(
+                        f"query gram {term!r} was not in the "
+                        "prepare_serving(queries=...) workload — "
+                        "re-prepare with the extended query set"
+                    )
+                continue  # frozen vocabulary: unseen terms drop
             e = per_term.setdefault(term, dict(info, qs=[]))
             e["qs"].append({"query_id": qid, "qtf": float(qtf)})
     rows = list(per_term.values())
@@ -257,7 +259,7 @@ _PAIRS_PER_TASK = 250_000
 
 
 def _partial_scores_for_batch(
-    pdf: pd.DataFrame, qmap: dict, raw_cfg, tomb, _packed: bool = False
+    pdf: pd.DataFrame, qmap: dict, raw_cfg, tomb_src, _packed: bool = False
 ) -> pd.DataFrame | tuple | None:
     """Decode one pandas batch of postings blocks ONCE, fan out to all
     matching queries via the ``{term_id: (qids[], qtfs[][, s_t])}``
@@ -314,9 +316,18 @@ def _partial_scores_for_batch(
         )
         w = w32.astype(np.float64)
     tid_p = np.repeat(tid_col[sel], ns)
-    if tomb is not None and d.size:
-        keep = _not_tombstoned(d, tomb)
-        d, w, tid_p = d[keep], w[keep], tid_p[keep]
+    if tomb_src is not None and d.size:
+        # per-posting source segment → the loader reads only those
+        # segments' delete sets (tombmask.py); rows without a seg
+        # column fall back to the merged set
+        segs = (
+            np.repeat(pdf["seg"].to_numpy(dtype=np.int64)[sel], ns)
+            if "seg" in pdf.columns
+            else None
+        )
+        keep = keep_mask(tomb_src, d, segs)
+        if keep is not None:
+            d, w, tid_p = d[keep], w[keep], tid_p[keep]
     if d.size == 0:
         return None
     # per-term contiguous slices for the K×n expansion
@@ -364,7 +375,7 @@ def _partial_scores_for_batch(
 _PARTIAL_FLUSH_PAIRS = 8_000_000
 
 
-def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
+def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_src=None):
     """mapInPandas over PRUNED POSTINGS ONLY: the query fan-out happens
     inside the worker via a broadcast {term_id: (qids[], qtfs[])}
     dict, so a hot block shared by Q queries is shuffled and decoded
@@ -379,7 +390,6 @@ def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qmap = qmap_bc.value
-        tomb = tomb_bc.value if tomb_bc is not None else None
         mask = (1 << _DOC_BITS) - 1
         key_buf: list[np.ndarray] = []
         val_buf: list[np.ndarray] = []
@@ -402,7 +412,7 @@ def _decode_score_fn(qmap_bc, raw_cfg=None, tomb_bc=None):
             if pdf.empty:
                 continue
             out = _partial_scores_for_batch(
-                pdf, qmap, raw_cfg, tomb, _packed=True
+                pdf, qmap, raw_cfg, tomb_src, _packed=True
             )
             if out is None:
                 continue
@@ -468,7 +478,8 @@ def search_distributed(
             )
             for r in rows
         }
-        cols = ("term_id", "n", "first_doc", "docs", "tfs", "dls")
+        # seg rides along for per-segment tombstone loads (tombmask.py)
+        cols = ("term_id", "n", "first_doc", "docs", "tfs", "dls", "seg")
     else:
         raw_cfg = None
         qmap = {
@@ -496,8 +507,8 @@ def search_distributed(
     # per-task work that dwarfs duplication anyway.
     vol = sum(int(r["df"]) * len(r["qs"]) for r in rows)
     n_tasks = max(1, min((vol + _PAIRS_PER_TASK - 1) // _PAIRS_PER_TASK, 512))
-    tomb_bc = (
-        index._tombstone_bc() if hasattr(index, "_tombstone_bc") else None
+    tomb_src = (
+        index._tomb_src() if hasattr(index, "_tomb_src") else None
     )
     scan = _postings_for(index, rows).select(*cols)
     # coalesce can only REDUCE partition count: a compact index whose
@@ -524,7 +535,7 @@ def search_distributed(
             int(n_tasks), F.shiftright(F.col("first_doc"), 8)
         )
     partial = scan.mapInPandas(
-        _decode_score_fn(qmap_bc, raw_cfg, tomb_bc), _SCORE_SCHEMA
+        _decode_score_fn(qmap_bc, raw_cfg, tomb_src), _SCORE_SCHEMA
     )
     scored = partial.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
@@ -627,7 +638,7 @@ def _bmw_group_fn(
     k: int,
     raw_cfg: tuple | None = None,
     _stats: dict | None = None,
-    tomb_bc=None,
+    tomb_src: str | None = None,
     bulk_qmap_bc=None,
 ):
     """One (query_id, subgroup) group: block-max pruned exact top-k.
@@ -665,12 +676,11 @@ def _bmw_group_fn(
             doc_salt,
         )
 
-        tomb = tomb_bc.value if tomb_bc is not None else None
         qid = int(pdf["query_id"].iloc[0])
         if qid == -1:
             # bulk group (unified auto): decode once, broadcast fan-out
             out = _partial_scores_for_batch(
-                pdf, bulk_qmap_bc.value, raw_cfg, tomb
+                pdf, bulk_qmap_bc.value, raw_cfg, tomb_src
             )
             if out is None:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score"])
@@ -690,6 +700,11 @@ def _bmw_group_fn(
             return pd.DataFrame(columns=["query_id", "doc_id", "score"])
         docs_col = pdf["docs"].to_numpy()
         n_col = pdf["n"].to_numpy(dtype=np.int64)
+        seg_col = (
+            pdf["seg"].to_numpy(dtype=np.int64)
+            if "seg" in pdf.columns
+            else None
+        )
         tfidf = raw_cfg is not None and raw_cfg[4] == "tfidf"
         if raw_cfg is not None:
             k1, b, eps, avgdl = raw_cfg[:4]
@@ -779,14 +794,21 @@ def _bmw_group_fn(
                 bi = np.repeat(idx, ns)
                 w = w32.astype(np.float64)
             w = w * qtf[bi]
-            if tomb is not None and d.size:
+            if tomb_src is not None and d.size:
                 # deleted docs are masked BEFORE top-k selection:
                 # block bounds still include them (sound upper
-                # bounds, just looser until compact())
-                m = _not_tombstoned(d, tomb)
-                d, w = d[m], w[m]
-                if nlo is not None:
-                    nlo, nhi = nlo[m], nhi[m]
+                # bounds, just looser until compact()). Per-posting
+                # source seg → the loader reads only those segments'
+                # delete sets (tombmask.py)
+                m = keep_mask(
+                    tomb_src,
+                    d,
+                    seg_col[bi] if seg_col is not None else None,
+                )
+                if m is not None:
+                    d, w = d[m], w[m]
+                    if nlo is not None:
+                        nlo, nhi = nlo[m], nhi[m]
             if n_groups > 1:
                 # subgroup ownership: this group scores ONLY its own
                 # doc shard (blocks of low-salt terms are replicated
@@ -1090,7 +1112,7 @@ def search_bmw(
             group_cols = [
                 "query_id", "grp", "n_groups", "term_id", "salt", "n",
                 "qtf", "s_t", "max_w", "min_w", "glo", "ghi",
-                "first_doc", "last_doc", "docs", "tfs", "dls",
+                "first_doc", "last_doc", "docs", "tfs", "dls", "seg",
             ]
         else:
             w1_hi = (
@@ -1127,7 +1149,7 @@ def search_bmw(
             group_cols = [
                 "query_id", "grp", "n_groups", "term_id", "salt", "n",
                 "qtf", "s_t", "max_w", "min_w", "first_doc", "last_doc",
-                "docs", "tfs", "dls",
+                "docs", "tfs", "dls", "seg",
             ]
     else:
         raw_cfg = None
@@ -1211,9 +1233,9 @@ def search_bmw(
             _bmw_group_fn(
                 k,
                 raw_cfg,
-                tomb_bc=(
-                    index._tombstone_bc()
-                    if hasattr(index, "_tombstone_bc")
+                tomb_src=(
+                    index._tomb_src()
+                    if hasattr(index, "_tomb_src")
                     else None
                 ),
                 bulk_qmap_bc=bulk_qmap_bc,

@@ -956,8 +956,25 @@ class CompressedIndexStream:
             tombstones_path = (
                 "tombstones" if rev_t == 0 else f"tombstones_r{rev_t}"
             )
-            tomb.write.mode("overwrite").parquet(
-                cat.path(tombstones_path)
+            # published PARTITIONED BY the segment holding each deleted
+            # doc's postings (index/tombmask.py): decode tasks lazily
+            # load only the delete sets of segments they touch — the
+            # driver never materializes an id array at query time. The
+            # docmap scan is the doc→seg source (tombstoned docs never
+            # reach NEW docmap segments, so every maskable id maps to a
+            # retained seg); ids with no docmap row (deleted before
+            # ever materialized) have no postings to mask and park
+            # under seg=-1, which no postings row references.
+            seg_src = spark.read.parquet(cat.path("docmap")).select(
+                "doc_id", "seg"
+            )
+            (
+                tomb.join(seg_src, "doc_id", "left")
+                .na.fill({"seg": -1})
+                .repartition("seg")
+                .write.partitionBy("seg")
+                .mode("overwrite")
+                .parquet(cat.path(tombstones_path))
             )
         m = Manifest(
             cfg=cfg_dict,

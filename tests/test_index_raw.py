@@ -122,3 +122,40 @@ def test_raw_auto_mixed_routing_matches_exact(raw_index, queries, exact_topk):
     assert set(got) == set(exact_topk)
     for qid in exact_topk:
         assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
+
+
+def test_prepare_serving_vocab_filtered(raw_index, queries, exact_topk):
+    """VERDICT r4 #6: query-vocabulary-filtered prepare. The serving
+    map is bounded by the WORKLOAD's gram set (driver memory stays
+    capped when the termdict outgrows it at 10^7+ terms), results are
+    identical to the full prepare, and a query gram outside the
+    prepared workload raises instead of silently dropping a term whose
+    vocabulary membership was never checked."""
+    from neural_cherche_spark.text.ngrams import char_wb_ngrams
+
+    qtexts = [
+        r["query"]
+        for r in sorted(queries.collect(), key=lambda r: r["query_id"])
+    ]
+    cfg = raw_index.manifest.cfg
+    grams = {
+        g
+        for q in qtexts
+        for g in char_wb_ngrams(q, int(cfg["n_min"]), int(cfg["n_max"]))
+    }
+    full_vocab = raw_index.termdict.count()
+    raw_index.prepare_serving(queries=qtexts)
+    try:
+        # capped memory: ≤ the workload's grams, not the corpus vocab
+        assert len(raw_index._serving) <= len(grams) < full_vocab
+        got = _collect_topk(
+            raw_index.search_serving(qtexts, k=10, mode="bmw")
+        )
+        assert set(got) == set(exact_topk)
+        for qid in exact_topk:
+            assert_rank_identical(got[qid], exact_topk[qid], rtol=1e-9)
+        with pytest.raises(ValueError, match="not in the"):
+            raw_index.search_serving(["zzzql zzzqm"], k=5)
+    finally:
+        raw_index._serving = None
+        raw_index._serving_prepared = None
