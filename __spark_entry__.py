@@ -541,6 +541,20 @@ def _q_field_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P5: model-input decoration — '[Q] ' query prefix
+    (colbert.py:208-209 shape) and '[D] ' + text + MASK-run suffix
+    (splade.py:205-207 shape) as pure Catalyst concat (the one per-row
+    op before a 10^12-doc neural encode that must NOT be a UDF)."""
+    from neural_cherche_spark.text.decorate import decorate
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        decorate("text", query_mode=True).alias("q_text"),
+        decorate("text", n_mask_tokens=5).alias("d_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline ops (dedup / ANN / text analysis)
 # ---------------------------------------------------------------------------
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_raw_bmw": _q_tfidf_topk_raw_bmw,
         "tfidf_topk_delta": _q_tfidf_topk_delta,
         "field_concat": _q_field_concat,
+        "text_decorate": _q_text_decorate,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1215,6 +1230,13 @@ def oracle_sql() -> dict[str, str]:
         "field_concat": """
             SELECT doc_id,
                    concat(coalesce(source, ''), ' ', coalesce(text, '')) AS joined
+            FROM documents
+        """,
+        "text_decorate": """
+            SELECT doc_id,
+                   '[Q] ' || text AS q_text,
+                   '[D] ' || text ||
+                   ' [MASK] [MASK] [MASK] [MASK] [MASK]' AS d_text
             FROM documents
         """,
         "dedup_exact": """
