@@ -277,6 +277,35 @@ def _q_bm25_topk_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx._serving_prepared = None
 
 
+def _q_bm25_topk_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the SPARK-FREE serving tier
+    (serve.LocalSearcher): the same index artifact is searched via a
+    pyarrow postings read + the in-process scorer — zero Spark jobs
+    per query — and must match the same exact DuckDB oracle as every
+    other bm25 top-k gate."""
+    from neural_cherche_spark.serve import LocalSearcher
+
+    idx = _entry_index(spark, sf_dir)
+    texts = [q for _, q in QUERY_SET]
+    try:
+        idx.prepare_serving(queries=texts)
+        srv = LocalSearcher.from_index(idx)
+        rows = [
+            (qid, d["doc_id"], float(d["score"]))
+            for qid, res in enumerate(srv.search(texts, k=TOP_K))
+            for d in res
+        ]
+        return _rank_on_grid(
+            spark.createDataFrame(
+                rows, "query_id long, doc_id long, score double"
+            ),
+            _COMPRESSED_DP,
+        )
+    finally:
+        idx._serving = None
+        idx._serving_prepared = None
+
+
 def _rank_on_grid(res: DataFrame, dp: int) -> DataFrame:
     from pyspark.sql import Window
 
@@ -683,6 +712,22 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN self-search (ops/ivf.py): hash-seeded coarse
+    centroids (iters=0 — the oracle-exact configuration; Lloyd
+    refinement is pytest-gated in test_ivf.py), nprobe=2 of 16
+    partitions, exact cosine inside the probed slice only."""
+    from neural_cherche_spark.ops.ivf import ivf_seed_centroids, ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf_seed_centroids(vecs, n_centroids=16)
+    return ivf_topk(
+        vecs, vecs, cents, k=5, nprobe=2, exclude_self=True
+    ).select("vec_id", "neighbor_id", "cos", "rank")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.text.analysis import lang_id
 
@@ -1037,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_bmw": _q_bm25_topk_compressed("bmw"),
         "bm25_topk_serving": _q_bm25_topk_serving,
+        "bm25_topk_local": _q_bm25_topk_local,
         "bm25_topk_raw_bmw": _q_bm25_topk_raw_bmw,
         "bm25_topk_delta": _q_bm25_topk_delta,
         "bm25_topk_delete": _q_bm25_topk_delete,
@@ -1056,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_banded_topk": _q_ann_lsh_banded_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -1147,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
             for name in (
                 "bm25_topk_bmw",
                 "bm25_topk_serving",
+                "bm25_topk_local",
                 "bm25_topk_distributed",
                 "bm25_topk_raw_bmw",
                 "bm25_topk_delta",
@@ -1407,6 +1455,56 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c
               JOIN nrm x ON x.vec_id = c.vec_id
               JOIN nrm y ON y.vec_id = c.neighbor_id
+            )
+            SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_DUCK_COS_PAIRS},
+            seeds AS (
+              SELECT vec_id, v, nr FROM nrm
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+            ),
+            cents AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) - 1 AS centroid_id,
+                     v AS cv, nr AS cnr
+              FROM seeds
+            ),
+            ccos AS (
+              SELECT n.vec_id, c.centroid_id,
+                     round(
+                       list_sum(list_transform(range(1, len(n.v) + 1),
+                                i -> n.v[i]::DOUBLE * c.cv[i]::DOUBLE))
+                       / (n.nr * c.cnr), 6) AS ccos
+              FROM nrm n, cents c
+            ),
+            ranked AS (
+              SELECT vec_id, centroid_id,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ccos DESC, centroid_id ASC
+                     ) AS r
+              FROM ccos
+            ),
+            assign AS (SELECT vec_id, centroid_id FROM ranked WHERE r = 1),
+            probe  AS (SELECT vec_id, centroid_id FROM ranked WHERE r <= 2),
+            scored AS (
+              SELECT p.vec_id, a.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(x.v) + 1),
+                                i -> x.v[i]::DOUBLE * y.v[i]::DOUBLE))
+                       / (x.nr * y.nr), 6) AS cos
+              FROM probe p
+              JOIN assign a USING (centroid_id)
+              JOIN nrm x ON x.vec_id = p.vec_id
+              JOIN nrm y ON y.vec_id = a.vec_id
+              WHERE a.vec_id <> p.vec_id
             )
             SELECT vec_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
             FROM (

@@ -181,6 +181,7 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
     ]
 
     builds, qwalls, p50s, p95s = [], [], [], []
+    lp50s, lp95s, lqps = [], [], []
     index = None
     for _ in range(rounds):
         idx_dir = f"{work}/bench_large_idx"
@@ -204,6 +205,24 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
         lat.sort()
         p50s.append(lat[len(lat) // 2])
         p95s.append(lat[min(len(lat) - 1, int(len(lat) * 0.95))])
+        # Spark-free serving tier (serve.LocalSearcher): same artifact,
+        # same scorer, zero Spark jobs per query — the deployment shape
+        # a single-node serving fleet runs
+        from neural_cherche_spark.serve import LocalSearcher
+
+        srv = LocalSearcher.from_index(index)
+        srv.search(serve_texts[0], k=10)  # warm pyarrow dataset state
+        llat = []
+        t_all = time.perf_counter()
+        for qt in serve_texts:
+            t0 = time.perf_counter()
+            srv.search(qt, k=10)
+            llat.append((time.perf_counter() - t0) * 1e3)
+        local_wall = time.perf_counter() - t_all
+        llat.sort()
+        lp50s.append(llat[len(llat) // 2])
+        lp95s.append(llat[min(len(llat) - 1, int(len(llat) * 0.95))])
+        lqps.append(len(serve_texts) / local_wall)
         index.close()
     queries.unpersist()
     return {
@@ -220,6 +239,11 @@ def _run_large(spark, work, cpus, n_docs_large, rounds) -> dict:
         "serving_p50_spread": round(_spread(p50s), 3),
         "serving_p95_ms": round(_median(p95s), 1),
         "serving_p95_spread": round(_spread(p95s), 3),
+        "serving_local_p50_ms": round(_median(lp50s), 2),
+        "serving_local_p50_spread": round(_spread(lp50s), 3),
+        "serving_local_p95_ms": round(_median(lp95s), 2),
+        "serving_local_p95_spread": round(_spread(lp95s), 3),
+        "qps_serving_local": round(_median(lqps), 1),
     }
 
 
