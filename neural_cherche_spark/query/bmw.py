@@ -1181,9 +1181,16 @@ def search_bmw(
             "docs", "ws",
         ]
     bulk_case = (
-        # sentinel rows: one bulk group per volume-sized block bucket
+        # sentinel rows: volume-sized bulk groups keyed by DOC REGION
+        # (first_doc >> 8), not by (term, salt, block) hash — all
+        # heavy terms' blocks for the same ~256-doc span land in ONE
+        # group, so its per-group combine emits ~1 partial per
+        # (query, doc) instead of one per touching block-group (the
+        # same collocation trick as search_distributed's doc-region
+        # repartition; region-hash keeps groups balanced when the doc
+        # space is small)
         f"WHEN query_id = -1 THEN array(cast(pmod("
-        f"xxhash64(term_id, salt, block_id), {m_bulk}) as int)) "
+        f"xxhash64(shiftright(first_doc, 8)), {m_bulk}) as int)) "
         if heavy
         else ""
     )
