@@ -522,21 +522,41 @@ def search_distributed(
     # preserved either way).
     natural = scan.rdd.getNumPartitions()
     if natural >= n_tasks:
+        # wide scan (the 100 TB shape: thousands of file splits >
+        # the 512-task cap): coalesce is shuffle-FREE — block bytes
+        # never move, each task streams its splits through the
+        # flush-accumulated decode
         scan = scan.coalesce(int(n_tasks))
-    else:
-        # partition by COARSE DOC REGION (first_doc >> 8), not round
-        # robin: blocks of DIFFERENT terms covering the same docs land
-        # in the same task, so a doc scored by T matched terms emits
-        # ~1 partial instead of T — the emission volume (409M rows on
-        # the 100k-doc/256-query probe, ~16× the final candidate set)
-        # was the dominant wall of this path. Heavy terms' blocks are
-        # doc-dense (~1-2 regions each), exactly where the pairs are.
-        scan = scan.repartition(
-            int(n_tasks), F.shiftright(F.col("first_doc"), 8)
+        partial = scan.mapInPandas(
+            _decode_score_fn(qmap_bc, raw_cfg, tomb_src), _SCORE_SCHEMA
         )
-    partial = scan.mapInPandas(
-        _decode_score_fn(qmap_bc, raw_cfg, tomb_src), _SCORE_SCHEMA
-    )
+    else:
+        # narrow scan (compact index, few splits): full width needs a
+        # shuffle anyway, so shuffle into DOC-REGION groups
+        # (first_doc >> 8) and score each group as ONE pandas frame —
+        # blocks of DIFFERENT terms covering the same docs land in
+        # the same group, so a doc scored by T matched terms emits ~1
+        # partial instead of T (the 409M-row emission was the
+        # dominant wall of this path), and the single-frame combine
+        # beats the per-Arrow-batch accumulate of mapInPandas
+        # (measured 33.3→24.5 s decode, 52.4→31.4 s through the
+        # groupBy on the 100k-doc/128-query probe). Same key as the
+        # unified auto path's bulk groups.
+        fn = _bmw_group_fn(
+            k, raw_cfg, tomb_src=tomb_src, bulk_qmap_bc=qmap_bc
+        )
+        partial = (
+            scan.withColumn("query_id", F.lit(-1).cast("long"))
+            .withColumn(
+                "grp",
+                F.pmod(
+                    F.xxhash64(F.shiftright(F.col("first_doc"), 8)),
+                    F.lit(int(n_tasks)),
+                ).cast("int"),
+            )
+            .groupBy("query_id", "grp")
+            .applyInPandas(fn, _SCORE_SCHEMA)
+        )
     scored = partial.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
     )
