@@ -728,6 +728,42 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "neighbor_id", "cos", "rank")
 
 
+def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for the STATEFUL STREAMING dedup operator
+    (streaming/stateful.py, applyInPandasWithState): run the stream
+    over the documents table as an availableNow file source; the
+    first-seen-wins semantics over a static input equal batch
+    min(doc_id)-per-content-hash, which is the DuckDB oracle."""
+    import os
+    import tempfile
+
+    from neural_cherche_spark.streaming import streaming_exact_dedup
+
+    work = tempfile.mkdtemp(prefix="ncs_stream_dedup_")
+    # file-stream sources take a DIRECTORY; link the table in
+    os.makedirs(f"{work}/src")
+    os.symlink(
+        f"{sf_dir}/documents.parquet", f"{work}/src/documents.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        streaming_exact_dedup(stream, n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{work}/out").select(
+        "doc_id", "text", "content_hash"
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.text.analysis import lang_id
 
@@ -1093,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_delta": _q_tfidf_topk_delta,
         "field_concat": _q_field_concat,
         "text_decorate": _q_text_decorate,
+        "stream_exact_dedup": _q_stream_exact_dedup,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1292,6 +1329,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups,
                    min(doc_id) AS canonical_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "stream_exact_dedup": """
+            SELECT d.doc_id, d.text, md5(d.text) AS content_hash
+            FROM documents d
+            JOIN (
+              SELECT md5(text) AS h, min(doc_id) AS m
+              FROM documents GROUP BY 1
+            ) f ON md5(d.text) = f.h AND d.doc_id = f.m
         """,
         "minhash_lsh_pairs": f"""
             WITH {_DUCK_SHINGLES},
