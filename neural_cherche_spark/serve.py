@@ -41,7 +41,13 @@ import pandas as pd
 
 
 class LocalSearcher:
-    """Single-process searcher over a built weights-storage index."""
+    """Single-process searcher over a built index artifact.
+
+    Carries a hot-term postings LRU (``cache_bytes``, default 128 MB):
+    zipfian serving workloads re-hit head terms, whose block rows are
+    immutable for the manifest this handle is pinned to — a refresh
+    publishes a NEW manifest, served by opening a new searcher (the
+    same handle-per-snapshot rule as ``BM25Index``)."""
 
     def __init__(
         self,
@@ -51,13 +57,27 @@ class LocalSearcher:
         prepared: set | None = None,
         subgroup_cap: int = 32,
         tomb_src: str | None = None,
+        cache_bytes: int = 128 << 20,
     ) -> None:
+        import collections
+
         import pyarrow.dataset as ds
 
         self.manifest = manifest
         self._serving = serving
         self._serving_prepared = prepared
         self._tomb_src = tomb_src
+        # hot-term postings cache: term_id → its block rows (immutable
+        # for this manifest — segments are append-only and the handle
+        # is pinned to one manifest). LRU by payload bytes; serving
+        # workloads are zipfian, so the head terms' blocks stay
+        # resident and repeat queries skip the dataset scan entirely.
+        self._cache: "collections.OrderedDict[int, tuple]" = (
+            collections.OrderedDict()
+        )
+        self._cache_bytes = 0
+        self._cache_cap = int(cache_bytes)
+        self.cache_misses = 0  # dataset reads (introspection/tests)
         self.storage = manifest.cfg.get("storage", "weights")
         if self.storage == "raw":
             cfg = manifest.cfg
@@ -78,7 +98,13 @@ class LocalSearcher:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_index(cls, index, queries: list[str] | None = None, subgroup_cap: int = 32) -> "LocalSearcher":
+    def from_index(
+        cls,
+        index,
+        queries: list[str] | None = None,
+        subgroup_cap: int = 32,
+        cache_bytes: int = 128 << 20,
+    ) -> "LocalSearcher":
         """Open a searcher over a ``BM25Index`` handle's artifact.
 
         Uses the handle's serving map if prepared (calling
@@ -106,15 +132,56 @@ class LocalSearcher:
             prepared=index._serving_prepared,
             subgroup_cap=subgroup_cap,
             tomb_src=index._tomb_src() if hasattr(index, "_tomb_src") else None,
+            cache_bytes=cache_bytes,
         )
 
     # ------------------------------------------------------------------
     def _read_postings(self, rows: list) -> pd.DataFrame:
         """Pruned pyarrow scan: bucket dirs via hive partition pruning,
         row groups via term_id stats — the LOCAL twin of
-        query/bmw._postings_for."""
+        query/bmw._postings_for. Hot terms come from the LRU cache;
+        only cache misses touch the dataset."""
+        hits, misses = [], []
+        for r in rows:
+            t = int(r["term_id"])
+            if t in self._cache:
+                self._cache.move_to_end(t)
+                hits.append(self._cache[t][0])
+            else:
+                misses.append(r)
+        parts = list(hits)
+        if misses:
+            fresh = self._scan_postings(misses)
+            parts.append(fresh)
+            if self._cache_cap > 0 and len(fresh):
+                payload = fresh["docs"].map(len)
+                if "ws" in fresh.columns:
+                    payload = payload + fresh["ws"].map(len)
+                else:
+                    payload = (
+                        payload
+                        + fresh["tfs"].map(len)
+                        + fresh["dls"].map(len)
+                    )
+                for t, sub in fresh.groupby("term_id", sort=False):
+                    nb = int(payload[sub.index].sum()) + 512
+                    self._cache[int(t)] = (sub, nb)
+                    self._cache_bytes += nb
+                while self._cache_bytes > self._cache_cap and self._cache:
+                    _, (_, nb) = self._cache.popitem(last=False)
+                    self._cache_bytes -= nb
+        if not parts:
+            return pd.DataFrame()
+        return (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+
+    def _scan_postings(self, rows: list) -> pd.DataFrame:
         import pyarrow.dataset as ds
 
+        self.cache_misses += 1
         buckets = sorted({int(b) for r in rows for b in r["buckets"]})
         tids = sorted(int(r["term_id"]) for r in rows)
         filt = ds.field("bucket").isin(buckets) & ds.field("term_id").isin(tids)

@@ -146,3 +146,32 @@ def test_no_spark_jobs_during_search(index, qtexts, spark):
         srv.search(q, k=5)
     jobs_after = set(spark.sparkContext.statusTracker().getJobIdsForGroup())
     assert jobs_after == jobs_before
+
+
+def test_hot_term_cache(index, qtexts):
+    srv = LocalSearcher.from_index(index)
+    first = srv.search(qtexts[0], k=5)
+    misses_after_first = srv.cache_misses
+    assert misses_after_first >= 1
+    again = srv.search(qtexts[0], k=5)
+    assert srv.cache_misses == misses_after_first  # fully cached
+    assert again == first
+    # a different query with disjoint grams scans again
+    srv.search(qtexts[1], k=5)
+    assert srv.cache_misses >= misses_after_first
+
+
+def test_cache_disabled_and_eviction(index, qtexts):
+    srv0 = LocalSearcher.from_index(index)
+    srv0._cache_cap = 0
+    srv0.search(qtexts[0], k=5)
+    srv0.search(qtexts[0], k=5)
+    assert srv0.cache_misses == 2  # no retention
+    assert srv0._cache_bytes == 0
+
+    srv1 = LocalSearcher.from_index(index)
+    srv1._cache_cap = 1  # everything evicts immediately after insert
+    r1 = srv1.search(qtexts[0], k=5)
+    r2 = srv1.search(qtexts[0], k=5)
+    assert srv1.cache_misses == 2
+    assert r1 == r2
