@@ -871,6 +871,36 @@ def _q_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (ops/dedup.py substring_span_dedup,
+    the windowed Lee et al. 2022 formulation) at the literature's
+    canonical 50-token window — the synthetic corpus naturally repeats
+    boilerplate runs long enough to trip it."""
+    from neural_cherche_spark.ops.dedup import substring_span_dedup
+
+    return substring_span_dedup(_docs(spark, sf_dir), window=50).select(
+        "doc_id", "n_tokens", "n_dup_windows", "n_dup_tokens", "dup_frac"
+    )
+
+
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC self-search (ops/pq.py): hash-seeded
+    codebooks (iters=0 — the oracle-exact configuration; Lloyd
+    refinement and the Arrow paths are pytest-gated in test_pq.py),
+    m=8 subspaces × 16 codes over the 64-dim embeddings; the corpus
+    side of the scoring join reads only the 8-byte code rows."""
+    from neural_cherche_spark.ops.pq import pq_codebooks, pq_encode, pq_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = pq_codebooks(vecs, m=8, k_codes=16)
+    codes = pq_encode(vecs, cb, m=8)
+    return pq_topk(
+        vecs, codes, cb, k=5, m=8, exclude_self=True
+    ).select("vec_id", "neighbor_id", "score", "rank")
+
+
 def _q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage rank step (SURVEY §3.3): MaxSim late interaction over
     token-embedding tables derived deterministically from the
@@ -1140,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_banded_topk": _q_ann_lsh_banded_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -1149,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "shingle_novelty": _q_shingle_novelty,
         "line_dedup": _q_line_dedup,
+        "substring_dedup": _q_substring_dedup,
         "cross_contamination": _q_cross_contamination,
         "colbert_maxsim": _q_colbert_maxsim,
         "colbert_retrieve": _q_colbert_retrieve,
@@ -1558,6 +1590,68 @@ def oracle_sql() -> dict[str, str]:
               ) AS rnk FROM scored
             ) WHERE rnk <= 5
         """,
+        "ann_pq_topk": f"""
+            WITH {_DUCK_COS_PAIRS},
+            nv AS (
+              SELECT vec_id,
+                     list_transform(v, x -> x::DOUBLE / nr) AS v
+              FROM nrm
+            ),
+            numbered AS (
+              SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) - 1 AS code, v
+              FROM (
+                SELECT vec_id, v FROM nv
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+              )
+            ),
+            cb AS (
+              SELECT u.sub, code,
+                     list_slice(v, u.sub*8 + 1, u.sub*8 + 8) AS cw
+              FROM numbered, LATERAL unnest(range(0, 8)) AS u(sub)
+            ),
+            subv AS (
+              SELECT vec_id, u.sub,
+                     list_slice(v, u.sub*8 + 1, u.sub*8 + 8) AS sv
+              FROM nv, LATERAL unnest(range(0, 8)) AS u(sub)
+            ),
+            enc AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT s.vec_id, s.sub, c.code,
+                       row_number() OVER (
+                         PARTITION BY s.vec_id, s.sub
+                         ORDER BY list_sum(list_transform(range(1, 9),
+                           i -> (s.sv[i::INT] - c.cw[i::INT])
+                              * (s.sv[i::INT] - c.cw[i::INT]))),
+                           c.code
+                       ) AS rn
+                FROM subv s JOIN cb c USING (sub)
+              ) WHERE rn = 1
+            ),
+            lut AS (
+              SELECT s.vec_id AS qid, s.sub, c.code,
+                     list_sum(list_transform(range(1, 9),
+                       i -> s.sv[i::INT] * c.cw[i::INT])) AS dot
+              FROM subv s JOIN cb c USING (sub)
+            ),
+            scored AS (
+              SELECT l.qid AS vec_id, x.vec_id AS neighbor_id,
+                     round(sum(l.dot), 6) AS score
+              FROM enc x JOIN lut l
+                ON l.sub = x.sub AND l.code = x.code
+              WHERE x.vec_id <> l.qid
+              GROUP BY 1, 2
+            )
+            SELECT vec_id, neighbor_id, score,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY score DESC, neighbor_id ASC
+              ) AS rnk FROM scored
+            ) WHERE rnk <= 5
+        """,
         "embedding_near_dups": f"""
             WITH {_DUCK_COS_PAIRS},
             plane_dots AS (
@@ -1732,6 +1826,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_kept
             FROM kept k JOIN stats s USING (doc_id)
             GROUP BY 1
+        """,
+        "substring_dedup": f"""
+            WITH {_DUCK_WORDS},
+            wins AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(
+                       list_slice(w, i + 1, i + 50), ' '
+                     )) AS wkey
+              FROM dwords,
+              LATERAL unnest(
+                range(0, greatest(len(w) - 49, 0))
+              ) AS u(i)
+            ),
+            marked AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY wkey) AS c,
+                       row_number() OVER (
+                         PARTITION BY wkey ORDER BY doc_id, pos
+                       ) AS rn
+                FROM wins
+              ) WHERE c >= 2 AND rn > 1
+            ),
+            cov AS (
+              SELECT doc_id,
+                     count(*) AS n_dup_windows,
+                     sum(greatest(
+                       0,
+                       pos + 49 - greatest(coalesce(mprev, -50) + 49,
+                                           pos - 1)
+                     )) AS n_dup_tokens
+              FROM (
+                SELECT doc_id, pos,
+                       max(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING
+                       ) AS mprev
+                FROM marked
+              )
+              GROUP BY 1
+            ),
+            stats AS (
+              SELECT doc_id, len(w)::BIGINT AS n_tokens FROM dwords
+            )
+            SELECT s.doc_id, s.n_tokens,
+                   coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(c.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+                   round(CASE WHEN s.n_tokens > 0
+                         THEN coalesce(c.n_dup_tokens, 0)
+                              / s.n_tokens::DOUBLE
+                         ELSE 0 END, 6) AS dup_frac
+            FROM stats s LEFT JOIN cov c USING (doc_id)
         """,
         "cross_contamination": rf"""
             WITH {_DUCK_WORDS},

@@ -401,6 +401,138 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def substring_span_dedup(
+    docs: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_spans: bool = False,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_windows, n_dup_tokens, dup_frac
+    [, text]) — EXACT-SUBSTRING span deduplication, the windowed
+    formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better": remove every duplicated token span of
+    ≥ 50 tokens from all but one occurrence; used by MassiveText /
+    RefinedWeb). Every ``window``-token sliding window is hashed; a
+    window whose content occurs elsewhere in the corpus (or earlier in
+    the same doc) is DUPLICATED unless it is the global first
+    occurrence (lowest doc_id, then lowest position). Per doc this
+    reports the duplicated-window count and the number of tokens
+    covered by the UNION of duplicated spans; with ``drop_spans=True``
+    it also reassembles the text with those spans removed.
+
+    Plan shape (all Catalyst, no UDF):
+    1. one ``transform(sequence(...))`` + explode emits (doc, pos,
+       window-hash) — ~1 row per corpus token, the same order as the
+       postings explode;
+    2. one window-keyed agg takes count + min(struct(doc_id, pos))
+       (map-side combined) and an equi-join back marks non-first
+       duplicated windows;
+    3. covered-token count folds the sorted span starts once per doc:
+       spans are fixed-length, so union length accumulates with a
+       running last-covered-end — no interval list materializes;
+    4. ``drop_spans`` explodes each marked span to covered positions
+       (distinct) and LEFT ANTI joins the posexploded tokens — the
+       ``line_dedup`` reassembly shape, linear in covered tokens.
+
+    At 100 TB: window hashing here re-hashes ``window`` tokens per
+    position (md5 of the joined slice — exact + DuckDB-reproducible);
+    production would compute a rolling Rabin-Karp/xxhash per position
+    (O(1) amortized) in the same plan shape. The window-keyed agg is
+    one hash-shuffle over ~corpus-token rows, the per-doc folds are
+    doc-keyed — no all-pairs, no corpus-wide window function.
+    """
+    ln = int(window)
+    if ln < 2:
+        raise ValueError("window must be >= 2")
+    words = word_tokens_column(text_col)
+    toks = docs.select(F.col(id_col), words.alias("__w"))
+    wins_expr = (
+        f"CASE WHEN size(__w) >= {ln} THEN "
+        f"transform(sequence(0, size(__w) - {ln}), i -> "
+        f"struct(i AS pos, md5(array_join(slice(__w, i + 1, {ln}), ' ')) AS wkey)) "
+        f"ELSE array() END"
+    )
+    wins = toks.select(
+        id_col, F.explode(F.expr(wins_expr)).alias("__s")
+    ).select(
+        id_col,
+        F.col("__s.pos").cast("long").alias("pos"),
+        F.col("__s.wkey").alias("wkey"),
+    )
+    firsts = wins.groupBy("wkey").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+    )
+    marked = (
+        wins.join(firsts, "wkey")
+        .filter(
+            (F.col("__c") >= 2)
+            & ~(
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.pos") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    # union length of fixed-length spans from sorted starts: a span
+    # starting at s covers [s, s+ln-1]; newly covered tokens vs the
+    # running last_end are (s+ln-1) - max(last_end, s-1) when positive
+    cov = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(pos)), "
+            f"struct(CAST(-1 AS LONG) AS last_end, CAST(0 AS LONG) AS total), "
+            f"(acc, s) -> struct("
+            f"greatest(acc.last_end, s + {ln - 1}), "
+            f"acc.total + greatest(CAST(0 AS LONG), "
+            f"s + {ln - 1} - greatest(acc.last_end, s - 1))), "
+            f"acc -> acc.total)"
+        ).alias("n_dup_tokens"),
+    )
+    stats = toks.select(
+        id_col, F.size("__w").cast("long").alias("n_tokens")
+    )
+    out = stats.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+    if not drop_spans:
+        return out
+    covered = marked.select(
+        id_col,
+        F.explode(F.expr(f"sequence(pos, pos + {ln - 1})")).alias("pos"),
+    ).distinct()
+    tokpos = toks.select(
+        id_col, F.posexplode("__w").alias("pos", "__tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, __tok))), "
+                "s -> s.__tok)"
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return out.join(cleaned, id_col, "left").na.fill({text_col: ""})
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
