@@ -336,22 +336,57 @@ def _partial_scores_for_batch(
     bounds = np.flatnonzero(np.diff(tid_p)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [tid_p.size]))
-    key_parts, val_parts = [], []
-    for s0, e0 in zip(starts, ends):
-        tid = int(tid_p[s0])
-        ds, wsl = d[s0:e0], w[s0:e0]
-        qids, qtfs = qmap[tid][0], qmap[tid][1]
-        # K×n expansion in C: scores outer product, keys packed
-        scores = (qtfs[:, None] * wsl[None, :]).ravel()
-        keys = (
-            (qids.astype(np.int64) << _DOC_BITS)[:, None] | ds[None, :]
-        ).ravel()
-        key_parts.append(keys)
-        val_parts.append(scores)
-    key = np.concatenate(key_parts)
-    val = np.concatenate(val_parts)
-    uk, inv = np.unique(key, return_inverse=True)
-    sums = np.bincount(inv, weights=val)
+    term_qids = [qmap[int(tid_p[s0])][0] for s0 in starts]
+    term_qtfs = [qmap[int(tid_p[s0])][1] for s0 in starts]
+    pairs = sum(
+        q.size * (int(e0) - int(s0))
+        for q, s0, e0 in zip(term_qids, starts, ends)
+    )
+    uq = np.unique(np.concatenate(term_qids))
+    ud, dinv = np.unique(d, return_inverse=True)
+    cells = uq.size * ud.size
+    if 4 * pairs >= cells and cells <= 64_000_000:
+        # DENSE combine — the batch-size-scaling fix: accumulate into
+        # a (query-slot × local-doc) matrix instead of materializing
+        # every (query, posting) pair and sorting it. Within one term
+        # slice both queries and docs are UNIQUE (one posting per
+        # (term, doc): blocks partition a run's docs, salt runs
+        # partition a term's docs, a doc lives in one segment; one
+        # qtf per (query, term)), so the fancy-index += never drops a
+        # duplicate increment. O(pairs) writes + one O(cells) sweep,
+        # no 16 B/pair key array, no O(pairs log pairs) sort — the
+        # np.unique-over-pairs combine was 54% of scorer time and is
+        # what made per-query cost GROW with batch size (512-query
+        # batches: pair throughput/core 4.6× worse than 128-query).
+        # Guards: density ≥ 1/4 (emission sweep stays O(pairs)) and
+        # ≤ 64M cells (512 MB); sparse batches take the pair path.
+        m = np.zeros((uq.size, ud.size), dtype=np.float64)
+        for qi, qt, s0, e0 in zip(term_qids, term_qtfs, starts, ends):
+            qslots = np.searchsorted(uq, qi)
+            m[qslots[:, None], dinv[s0:e0][None, :]] += (
+                qt[:, None] * w[s0:e0][None, :]
+            )
+        nzq, nzd = np.nonzero(m)
+        # dropping exact-zero partials is exact: every contribution is
+        # non-negative (eps-clamped idf, qtf ≥ 1) and the engine's
+        # positive-score filter (T2) drops zero totals downstream
+        sums = m[nzq, nzd]
+        uk = (uq[nzq] << _DOC_BITS) | ud[nzd]
+    else:
+        key_parts, val_parts = [], []
+        for qi, qt, s0, e0 in zip(term_qids, term_qtfs, starts, ends):
+            ds, wsl = d[s0:e0], w[s0:e0]
+            # K×n expansion in C: scores outer product, keys packed
+            scores = (qt[:, None] * wsl[None, :]).ravel()
+            keys = (
+                (qi.astype(np.int64) << _DOC_BITS)[:, None] | ds[None, :]
+            ).ravel()
+            key_parts.append(keys)
+            val_parts.append(scores)
+        key = np.concatenate(key_parts)
+        val = np.concatenate(val_parts)
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=val)
     if _packed:
         # caller (_decode_score_fn) defers the cross-batch combine:
         # per-batch unique'd packed keys bound its buffer growth
