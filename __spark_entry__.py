@@ -764,6 +764,44 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRECTNESS gate for STREAMING near-dup candidate detection
+    (streaming/stateful.py streaming_lsh_candidates): run the stream
+    over the documents table as a single availableNow micro-batch;
+    first-holder semantics over a static input equal the batch LSH
+    buckets with min-doc holders, which is the DuckDB oracle (same
+    minhash/band-key formulas as the minhash_lsh_pairs gate)."""
+    import os
+    import tempfile
+
+    from neural_cherche_spark.streaming import streaming_lsh_candidates
+
+    work = tempfile.mkdtemp(prefix="ncs_stream_lsh_")
+    os.makedirs(f"{work}/src")
+    os.symlink(
+        f"{sf_dir}/documents.parquet", f"{work}/src/documents.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        streaming_lsh_candidates(
+            stream, shingle_n=3, num_hashes=16, bands=4, n_shards=8
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(f"{work}/out").select(
+        "doc_id", F.col("band").cast("long").alias("band"), "dup_of"
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neural_cherche_spark.text.analysis import lang_id
 
@@ -1160,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_concat": _q_field_concat,
         "text_decorate": _q_text_decorate,
         "stream_exact_dedup": _q_stream_exact_dedup,
+        "stream_lsh_candidates": _q_stream_lsh_candidates,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1369,6 +1408,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT md5(text) AS h, min(doc_id) AS m
               FROM documents GROUP BY 1
             ) f ON md5(d.text) = f.h AND d.doc_id = f.m
+        """,
+        "stream_lsh_candidates": f"""
+            WITH {_DUCK_SHINGLES},
+            mh AS (
+              SELECT doc_id, seed, min(md5(shingle || ':' || seed)) AS minhash
+              FROM shingles, LATERAL unnest(range(0, 16)) AS s(seed)
+              GROUP BY 1, 2
+            ),
+            bands AS (
+              SELECT doc_id, (seed // 4)::INT AS band,
+                     md5(string_agg(seed || '=' || minhash, '|'
+                         ORDER BY seed || '=' || minhash)) AS band_key
+              FROM mh GROUP BY 1, 2
+            ),
+            first AS (
+              SELECT band, band_key, min(doc_id) AS holder
+              FROM bands GROUP BY 1, 2
+            )
+            SELECT b.doc_id, b.band::BIGINT AS band, f.holder AS dup_of
+            FROM bands b JOIN first f USING (band, band_key)
+            WHERE b.doc_id <> f.holder
         """,
         "minhash_lsh_pairs": f"""
             WITH {_DUCK_SHINGLES},

@@ -7,6 +7,8 @@ from neural_cherche_spark.streaming.compressed import (  # noqa: F401
     stream_build_compressed,
 )
 from neural_cherche_spark.streaming.stateful import (  # noqa: F401
+    lsh_band_key_exprs,
     streaming_exact_dedup,
+    streaming_lsh_candidates,
     streaming_windowed_term_counts,
 )

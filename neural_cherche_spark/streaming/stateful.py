@@ -149,6 +149,197 @@ def streaming_exact_dedup(
     )
 
 
+_LSH_STATE_SCHEMA = StructType(
+    [
+        StructField("digests", BinaryType(), True),
+        StructField("holders", BinaryType(), True),
+    ]
+)
+
+
+def lsh_band_key_exprs(
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple:
+    """(band_keys, shingles, signature) Catalyst expressions; the
+    first references columns ``__sh``/``__sig`` that callers bind to
+    the latter two. Per-ROW MinHash LSH band keys —
+    value-identical to the batch ``word_shingles →
+    minhash_signatures → lsh_candidate_pairs`` band keys
+    (ops/dedup.py), but with NO aggregation: min over a doc's
+    shingles is ``array_min(transform(...))`` on the row itself.
+    That is what makes the computation legal INSIDE a stream — a
+    ``groupBy(doc, seed)`` minhash would be an unbounded streaming
+    aggregation, forbidden in append mode, while a scalar projection
+    composes with any downstream stateful operator. (Duplicate
+    shingles don't need a distinct: they cannot change a min.)"""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    words = (
+        f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+    )
+    shingles = (
+        f"CASE WHEN size({words}) >= {shingle_n} THEN "
+        f"transform(sequence(1, size({words}) - {shingle_n - 1}), "
+        f"i -> array_join(slice({words}, i, {shingle_n}), ' ')) "
+        f"ELSE array() END"
+    )
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), seed -> "
+        f"array_min(transform(__sh, s -> "
+        f"md5(concat(s, ':', cast(seed as string))))))"
+    )
+    return F.expr(
+        f"CASE WHEN size(__sh) = 0 THEN array() ELSE "
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"md5(array_join(array_sort(transform("
+        f"sequence(b * {rpb}, b * {rpb} + {rpb - 1}), "
+        f"i -> concat(cast(i as string), '=', element_at(__sig, i + 1)))), "
+        f"'|'))) END"
+    ), F.expr(shingles), F.expr(sig)
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-duplicate candidate detection: each arriving doc
+    is checked against the full stream history via MinHash LSH band
+    collisions, emitting ``(doc_id, band, dup_of)`` for every band
+    whose key was already held by an earlier doc (``dup_of`` = the
+    band key's FIRST holder — earliest micro-batch, ties within a
+    batch to the smallest ``id_col``). First holders emit nothing and
+    register their keys. Docs with fewer than ``shingle_n`` words have
+    no shingles and are passed through silently (they cannot be
+    near-dups; the batch pipeline likewise produces no signature).
+
+    This is the in-stream half of the standard near-dup architecture:
+    collision candidates stream out with bounded state (16 B digest +
+    8 B holder per distinct band key, sharded like
+    :func:`streaming_exact_dedup`), and the exact verifier
+    (``ngram_jaccard_pairs``) runs downstream on the candidate pairs
+    only. Over a single-batch static input the output equals the
+    batch LSH buckets with min-doc holders — the DuckDB oracle gate.
+    """
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField("band", LongType(), True),
+            StructField("dup_of", LongType(), True),
+        ]
+    )
+
+    def collide(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            dblob, hblob = state.get
+            seen = np.frombuffer(dblob, dtype="S16")
+            holders = np.frombuffer(hblob, dtype=np.int64)
+        else:
+            seen = np.empty(0, dtype="S16")
+            holders = np.empty(0, dtype=np.int64)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            d = pdf["__dg"].to_numpy(dtype="S16")
+            doc = pdf[id_col].to_numpy(dtype=np.int64)
+            band = pdf["band"].to_numpy(dtype=np.int64)
+            order = np.lexsort((doc, d))
+            d, doc, band = d[order], doc[order], band[order]
+            dup_of = np.empty(d.size, dtype=np.int64)
+            emit = np.ones(d.size, dtype=bool)
+            # state hits: the whole equal-digest run points at the
+            # stored holder
+            if seen.size:
+                pos = np.searchsorted(seen, d)
+                inr = pos < seen.size
+                hit = np.zeros(d.size, dtype=bool)
+                hit[inr] = seen[pos[inr]] == d[inr]
+                dup_of[hit] = holders[pos[hit]]
+            else:
+                hit = np.zeros(d.size, dtype=bool)
+            # misses: first row of each equal-digest run becomes the
+            # holder (not emitted); later rows point at it
+            miss = ~hit
+            first = np.ones(d.size, dtype=bool)
+            first[1:] = d[1:] != d[:-1]
+            lead = miss & first
+            # forward-fill the run-leader's doc id
+            lead_idx = np.where(first, np.arange(d.size), 0)
+            np.maximum.accumulate(lead_idx, out=lead_idx)
+            dup_of[miss] = doc[lead_idx[miss]]
+            emit = hit | (miss & ~lead)
+            if lead.any():
+                seen2 = np.concatenate([seen, d[lead]])
+                holders2 = np.concatenate([holders, doc[lead]])
+                o2 = np.argsort(seen2, kind="mergesort")
+                seen, holders = seen2[o2], holders2[o2]
+                state.update((seen.tobytes(), holders.tobytes()))
+            if emit.any():
+                yield pd.DataFrame(
+                    {
+                        id_col: doc[emit],
+                        "band": band[emit],
+                        "dup_of": dup_of[emit],
+                    }
+                )
+        else:
+            # preserve state untouched on an empty group call
+            if state.exists:
+                state.update((seen.tobytes(), holders.tobytes()))
+
+    bands_col, sh_col, sig_col = lsh_band_key_exprs(
+        text_col, shingle_n, num_hashes, bands
+    )
+    keyed = (
+        stream.select(F.col(id_col), F.col(text_col))
+        .withColumn("__sh", sh_col)
+        .withColumn("__sig", sig_col)
+        .withColumn("__bk", bands_col)
+        .select(
+            id_col, F.posexplode("__bk").alias("band", "band_key")
+        )
+        .withColumn(
+            "__dg",
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("band").cast("string"), F.col("band_key")
+                    )
+                )
+            ),
+        )
+        .withColumn(
+            "__shard",
+            F.pmod(F.xxhash64("__dg"), F.lit(int(n_shards))).cast("int"),
+        )
+    )
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        collide,
+        outputStructType=out_schema,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_term_counts(
     stream: DataFrame,
     ts_col: str = "warc_ts",

@@ -131,3 +131,114 @@ def test_windowed_term_counts_update_mode(spark, tmp_path):
     assert ("2026-01-01 00:00:00", "aaa", 2) in got
     assert ("2026-01-01 00:00:00", "bbb", 1) in got
     assert ("2026-01-01 00:10:00", "bbb", 1) in got
+
+
+def _run_lsh(spark, src, chk, out, **kw):
+    from neural_cherche_spark.streaming import streaming_lsh_candidates
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_lsh_candidates(stream, n_shards=4, **kw)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_lsh_candidates_across_batches_and_restarts(spark, tmp_path):
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    out = str(tmp_path / "lout")
+    chk = str(tmp_path / "lchk")
+    text_a = "the quick brown fox jumps over the lazy dog today"
+    text_b = "completely different words with no shared shingles here"
+
+    # batch 1: ids 10 and 12 identical (every band collides, 12 -> 10);
+    # id 11 unrelated; id 13 too short for a 3-shingle (passes silently)
+    pd.DataFrame(
+        [(10, text_a), (11, text_b), (12, text_a), (13, "too short")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b1.parquet")
+    _run_lsh(spark, str(src), chk, out, num_hashes=8, bands=4)
+    rows = {
+        (r["doc_id"], r["band"], r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(12, b, 10) for b in range(4)}
+
+    # batch 2 after a RESTART: id 20 identical to batch-1's id 10 —
+    # collisions must point at the FIRST holder recovered from the
+    # checkpointed state, not at anything in batch 2
+    pd.DataFrame(
+        [(20, text_a), (21, "yet another unrelated document text")],
+        columns=["doc_id", "text"],
+    ).to_parquet(src / "b2.parquet")
+    _run_lsh(spark, str(src), chk, out, num_hashes=8, bands=4)
+    rows = {
+        (r["doc_id"], r["band"], r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(12, b, 10) for b in range(4)} | {
+        (20, b, 10) for b in range(4)
+    }
+
+
+def test_lsh_band_keys_match_batch_pipeline(spark):
+    """The per-row Catalyst band keys equal the batch
+    word_shingles -> minhash_signatures -> band-key aggregation
+    (value parity is what lets the streaming op share the batch
+    oracle formulas)."""
+    from neural_cherche_spark.ops.dedup import (
+        minhash_signatures,
+        word_shingles,
+    )
+    from neural_cherche_spark.streaming import lsh_band_key_exprs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    bands_col, sh_col, sig_col = lsh_band_key_exprs(
+        "text", shingle_n=3, num_hashes=16, bands=4
+    )
+    per_row = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in docs.withColumn("__sh", sh_col)
+        .withColumn("__sig", sig_col)
+        .withColumn("__bk", bands_col)
+        .select("doc_id", F.posexplode("__bk").alias("band", "band_key"))
+        .collect()
+    }
+    sig = minhash_signatures(word_shingles(docs, n=3), num_hashes=16)
+    rpb = 4
+    batch = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in sig.withColumn("band", (F.col("seed") / rpb).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws("=", "seed", "minhash")
+                        )
+                    ),
+                )
+            ).alias("band_key")
+        )
+        .collect()
+    }
+    assert per_row == batch
