@@ -517,7 +517,20 @@ def substring_span_dedup(
         id_col,
         F.explode(F.expr(f"sequence(pos, pos + {ln - 1})")).alias("pos"),
     ).distinct()
-    tokpos = toks.select(
+    # reassemble from ORIGINAL-case tokens: lowercasing is part of the
+    # dedup KEY, not the output. Splitting the raw text with the same
+    # whitespace rule yields position-aligned tokens (lowercasing
+    # never creates or destroys a token), so the covered-position
+    # anti-join applies unchanged. Inter-token whitespace is still
+    # normalized to single spaces — inherent to token-level span
+    # removal (the C4/line-level op preserves lines verbatim instead).
+    toks_orig = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"filter(split({text_col}, '\\\\s+'), w -> w != '')"
+        ).alias("__w"),
+    )
+    tokpos = toks_orig.select(
         id_col, F.posexplode("__w").alias("pos", "__tok")
     ).withColumn("pos", F.col("pos").cast("long"))
     kept = tokpos.join(covered, [id_col, "pos"], "left_anti")

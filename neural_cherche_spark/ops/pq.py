@@ -86,6 +86,15 @@ def _subspace_bounds(dim: int, m: int) -> int:
     return dim // m
 
 
+def _dsub_of(vecs: DataFrame, vec_col: str, m: int) -> int:
+    """Subvector width from one probed row (one tiny Spark job); a
+    clear error on an empty corpus instead of a NoneType crash."""
+    first = vecs.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq: empty input — no embeddings to quantize")
+    return _subspace_bounds(int(first["d"]), m)
+
+
 def pq_codebooks(
     vecs: DataFrame,
     m: int = 8,
@@ -109,8 +118,7 @@ def pq_codebooks(
     numbered = seeds.select(
         (F.row_number().over(w) - 1).alias("code"), "v"
     )
-    first_dim = vecs.select(F.size(vec_col).alias("d")).first()
-    dsub = _subspace_bounds(int(first_dim["d"]), m)
+    dsub = _dsub_of(vecs, vec_col, m)
     return numbered.select(
         F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
         "code",
@@ -149,13 +157,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "catalyst",
+    _dsub: int | None = None,
 ) -> DataFrame:
     """(vec_id, codes: array<int>) — the compressed corpus. Per
     subspace the nearest codeword by L2 (ties → lowest code), codes
-    ordered by subspace."""
+    ordered by subspace. The two methods agree except on NEAR-TIES of
+    codeword distance finer than float rounding (catalyst folds
+    Σ(x−y)²; arrow expands ‖c‖²−2x·c), where either may win — exact
+    duplicate codewords still break identically (both compare
+    bit-identical values, lowest code wins)."""
     nv = _normalized(vecs, id_col, vec_col)
-    first = vecs.select(F.size(vec_col).alias("d")).first()
-    dsub = _subspace_bounds(int(first["d"]), m)
+    dsub = _dsub if _dsub is not None else _dsub_of(vecs, vec_col, m)
     if method == "arrow":
         return _pq_encode_arrow(nv, codebooks, m, dsub)
     sv = _subvectors(nv, m, dsub)
@@ -221,18 +233,29 @@ def pq_fit(
     cb = pq_codebooks(vecs, m, k_codes, id_col, vec_col)
     if iters <= 0:
         return cb
+    dsub = _dsub_of(vecs, vec_col, m)
     nv = _normalized(vecs, id_col, vec_col)
-    first = vecs.select(F.size(vec_col).alias("d")).first()
-    dsub = _subspace_bounds(int(first["d"]), m)
     sv = _subvectors(nv, m, dsub).localCheckpoint()
     for _ in range(iters):
-        codes = pq_encode(vecs, cb, m, id_col, vec_col, method)
-        assigned = sv.join(
-            codes.select(
+        if method == "arrow":
+            codes = pq_encode(
+                vecs, cb, m, id_col, vec_col, method, _dsub=dsub
+            )
+            assign = codes.select(
                 "vec_id", F.posexplode("codes").alias("sub", "code")
-            ),
-            ["vec_id", "sub"],
-        )
+            )
+        else:
+            # assign straight from the checkpointed subvectors — no
+            # per-iteration re-normalize/re-explode of the raw corpus
+            dists = sv.join(F.broadcast(cb), "sub").select(
+                "vec_id", "sub", "code", F.expr(_SQDIST).alias("dist")
+            )
+            assign = (
+                dists.groupBy("vec_id", "sub")
+                .agg(F.min(F.struct("dist", "code")).alias("b"))
+                .select("vec_id", "sub", F.col("b.code").alias("code"))
+            )
+        assigned = sv.join(assign, ["vec_id", "sub"])
         means = (
             assigned.select(
                 "sub", "code", F.posexplode("sv").alias("dim", "x")
@@ -274,8 +297,7 @@ def pq_topk(
     Σ_sub q_sub · codeword(codes[x][sub]) ≈ cos(q, x) for normalized
     corpus vectors. The corpus side touches ONLY the code table."""
     nq = _normalized(queries, id_col, vec_col)
-    first = queries.select(F.size(vec_col).alias("d")).first()
-    dsub = _subspace_bounds(int(first["d"]), m)
+    dsub = _dsub_of(queries, vec_col, m)
     qs = _subvectors(nq, m, dsub)
     lut = qs.join(F.broadcast(codebooks), "sub").select(
         F.col("vec_id").alias("qid"),
@@ -328,30 +350,40 @@ def _pq_score_arrow(
         lutm[qpos[r["qid"]], r["sub"], r["code"]] = r["dot"]
     qarr = np.asarray(qids, dtype=np.int64)
     cut = k + 1
+    # a Spark broadcast, not a closure capture: the LUT is
+    # |queries|·m·k doubles — closure-pickling it would re-ship it
+    # inside every serialized task instead of once per executor
+    sc_ctx = codes.sparkSession.sparkContext
+    lut_bc = sc_ctx.broadcast((lutm, qarr))
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lutm_w, qarr_w = lut_bc.value
         for pdf in it:
             n = len(pdf)
             if n == 0:
                 continue
             cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
-            # scores[q, i] = Σ_sub lut[q, sub, cm[i, sub]]
-            sc = lutm[:, np.arange(m)[None, :], cm].sum(axis=2)  # (nq, n)
+            # scores[q, i] = Σ_sub lut[q, sub, cm[i, sub]]; rounded
+            # BEFORE the local cut so local and global orderings agree
+            # (the rank window sorts rounded scores — cutting on raw
+            # ones could drop a row that ties into the top-k after
+            # rounding)
+            sc = np.round(
+                lutm_w[:, np.arange(m)[None, :], cm].sum(axis=2), 6
+            )  # (nq, n)
             nb = pdf["vec_id"].to_numpy()
             take = min(cut, n)
             # per-query local top-`take` (ties → lowest neighbor_id,
             # matching the rank window's ordering)
-            idx = np.lexsort((nb[None, :].repeat(sc.shape[0], 0), -sc), axis=1)[
-                :, :take
-            ]
-            qi = np.repeat(qarr, take)
+            idx = np.lexsort(
+                (nb[None, :].repeat(sc.shape[0], 0), -sc), axis=1
+            )[:, :take]
+            qi = np.repeat(qarr_w, take)
             yield pd.DataFrame(
                 {
                     "qid": qi,
                     "neighbor_id": nb[idx].ravel(),
-                    "score": np.round(
-                        np.take_along_axis(sc, idx, axis=1).ravel(), 6
-                    ),
+                    "score": np.take_along_axis(sc, idx, axis=1).ravel(),
                 }
             )
 

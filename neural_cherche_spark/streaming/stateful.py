@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from neural_cherche_spark.text.ngrams import word_tokens_column
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -163,9 +165,10 @@ def lsh_band_key_exprs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> tuple:
-    """(band_keys, shingles, signature) Catalyst expressions; the
-    first references columns ``__sh``/``__sig`` that callers bind to
-    the latter two. Per-ROW MinHash LSH band keys —
+    """(band_keys, shingles, signature, words) Catalyst expressions;
+    band_keys references ``__sh``/``__sig``, shingles references
+    ``__wd`` — callers bind each in order (words → shingles →
+    signature → band keys). Per-ROW MinHash LSH band keys —
     value-identical to the batch ``word_shingles →
     minhash_signatures → lsh_candidate_pairs`` band keys
     (ops/dedup.py), but with NO aggregation: min over a doc's
@@ -178,13 +181,15 @@ def lsh_band_key_exprs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rpb = num_hashes // bands
-    words = (
-        f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
-    )
+    # the shingle expression binds the SHARED tokenizer
+    # (text/ngrams.py word_tokens_column — the same helper the batch
+    # word_shingles uses) via the __wd column the caller provides, so
+    # a tokenization change cannot de-synchronize streaming band keys
+    # from the batch pipeline / DuckDB oracle
     shingles = (
-        f"CASE WHEN size({words}) >= {shingle_n} THEN "
-        f"transform(sequence(1, size({words}) - {shingle_n - 1}), "
-        f"i -> array_join(slice({words}, i, {shingle_n}), ' ')) "
+        f"CASE WHEN size(__wd) >= {shingle_n} THEN "
+        f"transform(sequence(1, size(__wd) - {shingle_n - 1}), "
+        f"i -> array_join(slice(__wd, i, {shingle_n}), ' ')) "
         f"ELSE array() END"
     )
     sig = (
@@ -199,7 +204,7 @@ def lsh_band_key_exprs(
         f"sequence(b * {rpb}, b * {rpb} + {rpb - 1}), "
         f"i -> concat(cast(i as string), '=', element_at(__sig, i + 1)))), "
         f"'|'))) END"
-    ), F.expr(shingles), F.expr(sig)
+    ), F.expr(shingles), F.expr(sig), word_tokens_column(text_col)
 
 
 def streaming_lsh_candidates(
@@ -264,7 +269,6 @@ def streaming_lsh_candidates(
             order = np.lexsort((doc, d))
             d, doc, band = d[order], doc[order], band[order]
             dup_of = np.empty(d.size, dtype=np.int64)
-            emit = np.ones(d.size, dtype=bool)
             # state hits: the whole equal-digest run points at the
             # stored holder
             if seen.size:
@@ -300,16 +304,15 @@ def streaming_lsh_candidates(
                         "dup_of": dup_of[emit],
                     }
                 )
-        else:
-            # preserve state untouched on an empty group call
-            if state.exists:
-                state.update((seen.tobytes(), holders.tobytes()))
+        # (with NoTimeout the engine only calls a group that has input
+        # rows, so there is no empty-call branch to handle)
 
-    bands_col, sh_col, sig_col = lsh_band_key_exprs(
+    bands_col, sh_col, sig_col, words_col = lsh_band_key_exprs(
         text_col, shingle_n, num_hashes, bands
     )
     keyed = (
         stream.select(F.col(id_col), F.col(text_col))
+        .withColumn("__wd", words_col)
         .withColumn("__sh", sh_col)
         .withColumn("__sig", sig_col)
         .withColumn("__bk", bands_col)

@@ -210,12 +210,13 @@ def test_lsh_band_keys_match_batch_pipeline(spark):
         ],
         ["doc_id", "text"],
     )
-    bands_col, sh_col, sig_col = lsh_band_key_exprs(
+    bands_col, sh_col, sig_col, words_col = lsh_band_key_exprs(
         "text", shingle_n=3, num_hashes=16, bands=4
     )
     per_row = {
         (r["doc_id"], r["band"], r["band_key"])
-        for r in docs.withColumn("__sh", sh_col)
+        for r in docs.withColumn("__wd", words_col)
+        .withColumn("__sh", sh_col)
         .withColumn("__sig", sig_col)
         .withColumn("__bk", bands_col)
         .select("doc_id", F.posexplode("__bk").alias("band", "band_key"))

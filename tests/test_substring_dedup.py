@@ -69,6 +69,18 @@ def test_drop_spans_fully_duplicated_doc_empties(spark):
     assert out[1]["n_dup_tokens"] == 4
 
 
+def test_drop_spans_preserves_original_case(spark):
+    # lowercasing is part of the dedup KEY only: "A b C" and "a B c"
+    # are duplicates, but each doc's surviving text keeps its own case
+    docs = _docs(spark, [(0, "A b C d e"), (1, "x a B c Y")])
+    out = _by_id(
+        substring_span_dedup(docs, window=3, drop_spans=True).collect()
+    )
+    assert out[0]["text"] == "A b C d e"
+    assert out[1]["text"] == "x Y"
+    assert out[1]["n_dup_tokens"] == 3
+
+
 def test_window_lower_bound_raises(spark):
     with pytest.raises(ValueError):
         substring_span_dedup(_docs(spark, [(0, "a b")]), window=1)
