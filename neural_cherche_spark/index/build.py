@@ -103,7 +103,19 @@ def bm25_weights(
     one to term (stats + norms), the scalar stats broadcast. The final
     norm join is a shuffle-hash/sort-merge on term with AQE skew split.
     """
-    tf = term_frequencies(docs, text_col, id_col, cfg.n_min, cfg.n_max)
+    from pyspark import StorageLevel
+
+    # ONE tokenize pass: tf feeds four branches (dl, stats, ts, w1) and
+    # the norms branch re-derives the whole weight tree — without a
+    # persist the physical plan re-scans and re-tokenizes the corpus
+    # once per branch (8 Scan+Generate subtrees measured in
+    # plans/r06/index_build_before.txt; guide §2.4 "remove shuffles/
+    # passes outright"). MEMORY_AND_DISK: spills instead of OOM; the
+    # cache is released by the ContextCleaner when the DataFrame goes
+    # out of scope.
+    tf = term_frequencies(
+        docs, text_col, id_col, cfg.n_min, cfg.n_max
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dl = doc_lengths(tf, id_col)
     stats = collection_stats(dl)
     ts = term_stats(tf, id_col)
@@ -134,6 +146,10 @@ def bm25_weights(
         )
         .withColumn("w2", F.col("w1") * F.col("idf"))
         .select(id_col, "term", "w2", "idf", "dl")
+        # second shared subtree: w2 feeds both the per-term norm agg and
+        # the final normalization join — persisting it keeps the joins
+        # (tf⋈dl⋈stats⋈ts) single-pass too
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norms = w2.groupBy("term").agg(
         F.sqrt(F.sum(F.col("w2") * F.col("w2"))).alias("term_norm")
@@ -163,7 +179,14 @@ def tfidf_weights(
     unpinnable offline (SURVEY §2.2 P4) and affect scores, not the
     cosine=1.0 invariant our tests assert.
     """
-    tf = term_frequencies(docs, text_col, id_col, n_min, n_max)
+    from pyspark import StorageLevel
+
+    # same shared-subtree treatment as bm25_weights (guide §2.4): tf
+    # feeds dfreq/stats/w, and w feeds both the doc-norm agg and the
+    # final join — persist both so the corpus is tokenized once
+    tf = term_frequencies(docs, text_col, id_col, n_min, n_max).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
@@ -173,6 +196,7 @@ def tfidf_weights(
             "idf", F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
         )
         .withColumn("w_raw", F.col("tf") * F.col("idf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     doc_norm = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("doc_norm")

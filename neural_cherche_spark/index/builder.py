@@ -138,7 +138,11 @@ def _zip_with_index(
     the checkpointed keys), leave False where uniqueness holds by
     construction (groupBy outputs)."""
     spark = df.sparkSession
-    parts = max(df.rdd.getNumPartitions(), 1)
+    # partition count only shapes the range split; dense ids are the
+    # GLOBAL sort rank, independent of the boundaries — the conf value
+    # avoids the DataFrame→RDD conversion (Python-serde plan build)
+    # that getNumPartitions forced on every call
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     keys = (
         df.select(order_col)
         .repartitionByRange(parts, order_col)
@@ -380,8 +384,26 @@ def build_index(
         f"bs={block_size},se={salt_every},nb={n_buckets},w={weighting},"
         f"st={storage}"
     )
-    fingerprint = _fingerprint(docs_keyed, "doc_id", text_col, cfg_sig)
     manifest = cat.load_manifest() if resume else None
+    # The fingerprint is a full corpus pass of its own. With a prior
+    # manifest it gates stage resumption, so it must be computed up
+    # front; on a FRESH build it is only recorded (and validates ids),
+    # so it runs as a concurrent job overlapping the tf stage (guide
+    # §2.6 — one corpus-scan's wall saved), resolved before any stage
+    # needs the value. An id-range error still aborts before the
+    # manifest commit.
+    fp_future = None
+    if manifest is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fp_pool = ThreadPoolExecutor(max_workers=1)
+        fp_future = _fp_pool.submit(
+            _fingerprint, docs_keyed, "doc_id", text_col, cfg_sig
+        )
+        _fp_pool.shutdown(wait=False)
+        fingerprint = None
+    else:
+        fingerprint = _fingerprint(docs_keyed, "doc_id", text_col, cfg_sig)
 
     # ---- tf: tokenize exactly ONCE, materialize, derive the rest --------
     # Without this stage every downstream aggregation (dl, stats,
@@ -396,18 +418,36 @@ def build_index(
     tf = spark.read.parquet(cat.path("tf"))
 
     t0 = time.perf_counter()
+    stats = None
     if not cat.stage_done(manifest, "docmap", fingerprint):
+        # collection stats (n_docs over dl>0, avgdl) ride the docmap
+        # write as an Observation — the separate stats job in
+        # _finish_build is skipped. Long-exact sum_dl / n gives the
+        # same avgdl the delta path derives from its additive ledger.
+        from pyspark.sql import Observation
+
+        dobs = Observation("docmap_stats")
         (
             docs_keyed.select("doc_id", key_out)
             .join(doc_lengths(tf), "doc_id", "left")
             .na.fill({"dl": 0})
+            .observe(
+                dobs,
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
+                F.sum("dl").alias("s"),
+            )
             .write.mode("overwrite")
             .parquet(cat.path("docmap"))
         )
+        n_live = int(dobs.get["n"] or 0)
+        stats = (n_live, (int(dobs.get["s"] or 0) / n_live) if n_live else 0.0)
     walls["docmap"] = time.perf_counter() - t0
+    if fingerprint is None:
+        fingerprint = fp_future.result()
     return _finish_build(
         spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
         salt_every, manifest, walls, index_dir, weighting, storage,
+        stats=stats,
     )
 
 
@@ -425,6 +465,7 @@ def _finish_build(
     index_dir: str,
     weighting: str = "bm25",
     storage: str = "weights",
+    stats: tuple[int, float] | None = None,
 ) -> "BM25Index":
     """Stages downstream of the materialized tf + docmap tables —
     shared by ``build_index`` and the incremental/streaming
@@ -451,6 +492,9 @@ def _finish_build(
         # fully-resumed statistics: manifest values are authoritative
         # for this fingerprint — skip the stats job
         n_docs, avgdl = int(manifest.n_docs), float(manifest.avgdl)
+    elif stats is not None:
+        # observed on the docmap write by the caller — no stats job
+        n_docs, avgdl = stats
     else:
         stats_row = collection_stats(dl).collect()[0]
         n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
@@ -661,6 +705,9 @@ def _finish_build(
     # at 100 TB the metrics pass reads a few % of the index, not all of it
     t0 = time.perf_counter()
     if not cat.stage_done(manifest, "lineage", fingerprint):
+        from pyspark.sql import Observation
+
+        lobs = Observation("lineage_totals")
         lineage_df = postings.groupBy("bucket").agg(
             F.countDistinct("term_id").alias("n_terms"),
             F.count(F.lit(1)).alias("n_blocks"),
@@ -668,27 +715,21 @@ def _finish_build(
             F.sum("n_bytes").alias("bytes"),
             F.max("enc_ms").alias("enc_ms"),
             F.lit(fingerprint).alias("input_fingerprint"),
-        )
+        ).observe(lobs, F.sum("n_postings").alias("np"))
         lineage_target = (
             os.path.join(cat.path("lineage"), "seg=0")
             if storage == "raw"
             else cat.path("lineage")
         )
         lineage_df.write.mode("overwrite").parquet(lineage_target)
-    walls["lineage"] = time.perf_counter() - t0
-
-    # manifest totals come from the tiny per-bucket lineage table — no
-    # extra full-postings job (round-1 VERDICT next-steps #6); a fully
-    # resumed build reuses the manifest total and runs no job at all
-    if cat.stage_done(manifest, "lineage", fingerprint):
-        n_postings = int(manifest.n_postings)
+        # manifest total rides the lineage write as an Observation — no
+        # read-back aggregation job (and still never touches the binary
+        # posting columns)
+        n_postings = int(lobs.get["np"] or 0)
     else:
-        n_postings = (
-            spark.read.parquet(cat.path("lineage"))
-            .agg(F.sum("n_postings"))
-            .collect()[0][0]
-            or 0
-        )
+        # fully resumed build: the manifest total is authoritative
+        n_postings = int(manifest.n_postings)
+    walls["lineage"] = time.perf_counter() - t0
     m = Manifest(
         cfg={
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,

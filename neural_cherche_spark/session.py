@@ -36,7 +36,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # joins: let the planner pick shuffled-hash over sort-merge when
+        # the per-partition build side fits (guide §3.1) — the engine's
+        # joins are id/term equi-joins where the hash build beats the
+        # double sort; AQE can also rewrite SMJ→SHJ at runtime when
+        # every post-shuffle partition is under the local-map threshold
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -110,11 +110,12 @@ class CompressedIndexStream:
             F.col(self.text_col).alias("text"),
         )
         from pyspark import StorageLevel
+        from pyspark.sql import Observation
 
         from neural_cherche_spark.index.build import doc_lengths
 
         # persist so tokenize (the expensive pass) runs ONCE for the
-        # three derived writes; MEMORY_AND_DISK spills, batch-bounded
+        # two derived writes; MEMORY_AND_DISK spills, batch-bounded
         tf_b = term_frequencies(
             keyed, "text", "doc_id", self.cfg.n_min, self.cfg.n_max
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -122,16 +123,25 @@ class CompressedIndexStream:
         tf_b.join(dl_b, "doc_id").write.mode("overwrite").parquet(
             self._p(f"tf/batch={batch_id}")
         )
+        # ledger stats ride the docs write as an Observation (guide §1:
+        # a batch add is driver-job-bound at small batch sizes — this
+        # was a third full job over the batch; dl>0 rows are exactly
+        # the docs dl_b carries, so the observed (n, s) equal the old
+        # dl_b aggregate)
+        obs = Observation(f"batch_{batch_id}_stats")
         (
             keyed.select("doc_id", "url")
             .join(dl_b, "doc_id", "left")
             .na.fill({"dl": 0})
+            .observe(
+                obs,
+                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
+                F.sum("dl").alias("s"),
+            )
             .write.mode("overwrite")
             .parquet(self._p(f"docs/batch={batch_id}"))
         )
-        srow = dl_b.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
+        srow = obs.get
         tf_b.unpersist()
 
         applied = meta.setdefault("applied_epochs", {})
@@ -518,29 +528,45 @@ class CompressedIndexStream:
             return BM25Index(spark, index_dir)
 
         walls: dict[str, float] = {}
-        t0 = time.perf_counter()
-        # id validation over the (narrow) doc registry — one pass
-        drow = (
-            spark.read.schema(DOCS_BATCH_SCHEMA).parquet(self._p("docs"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("doc_id").alias("nd"),
-                F.min("doc_id").alias("lo"),
-                F.max("doc_id").alias("hi"),
+
+        # id validation over the (narrow) doc registry — one pass.
+        # Runs as a CONCURRENT job (guide §2.6: overlap independent
+        # jobs): nothing below depends on it, and the refresh commits
+        # nothing until the manifest save — `check_validation()` is
+        # called (and re-raised from) before that commit point, so an
+        # invalid id set still never produces a committed manifest.
+        def _validate():
+            t0 = time.perf_counter()
+            drow = (
+                spark.read.schema(DOCS_BATCH_SCHEMA)
+                .parquet(self._p("docs"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("doc_id").alias("nd"),
+                    F.min("doc_id").alias("lo"),
+                    F.max("doc_id").alias("hi"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        if drow["n"]:
-            if drow["lo"] < 0 or drow["hi"] > MAX_DOC_ID:
-                raise ValueError(
-                    f"doc ids must be in [0, 2^41): got range "
-                    f"[{drow['lo']}, {drow['hi']}] across accumulated batches"
-                )
-            if drow["nd"] != drow["n"]:
-                raise ValueError(
-                    f"duplicate doc_ids across batches: {drow['n']} rows, "
-                    f"{drow['nd']} distinct — each batch must carry new ids"
-                )
+            walls["validate"] = time.perf_counter() - t0
+            if drow["n"]:
+                if drow["lo"] < 0 or drow["hi"] > MAX_DOC_ID:
+                    raise ValueError(
+                        f"doc ids must be in [0, 2^41): got range "
+                        f"[{drow['lo']}, {drow['hi']}] across accumulated "
+                        "batches"
+                    )
+                if drow["nd"] != drow["n"]:
+                    raise ValueError(
+                        f"duplicate doc_ids across batches: {drow['n']} "
+                        f"rows, {drow['nd']} distinct — each batch must "
+                        "carry new ids"
+                    )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        validation = pool.submit(_validate)
 
         # exact global stats, additively (batch ledger): no corpus pass
         ledger = meta.get("batches", {})
@@ -567,7 +593,6 @@ class CompressedIndexStream:
                 .parquet(self._p("deletes"))
                 .select("doc_id")
             )
-        walls["validate"] = time.perf_counter() - t0
 
         # ---- termdict: per-term stats over the accumulated tf --------------
         # the one O(corpus) pass a refresh keeps: idf and term_norm are
@@ -689,9 +714,16 @@ class CompressedIndexStream:
             termdict = _zip_with_index(ts, "term", "term_id")
             rev = 0
         termdict_path = "termdict" if rev == 0 else f"termdict_r{rev}"
-        termdict.write.mode("overwrite").parquet(cat.path(termdict_path))
+        # n_terms rides the write as an Observation — the separate
+        # termdict.count() job is gone (refresh wall is job-count-bound)
+        from pyspark.sql import Observation
+
+        tobs = Observation(f"termdict_r{rev}_count")
+        termdict.observe(tobs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(cat.path(termdict_path))
+        n_terms = int(tobs.get["n"] or 0)
         termdict = spark.read.parquet(cat.path(termdict_path))
-        n_terms = termdict.count()
         walls["termdict"] = time.perf_counter() - t0
 
         # ---- docnorm (tfidf only): per-doc L2 norms, full rewrite ----------
@@ -808,6 +840,33 @@ class CompressedIndexStream:
                 .count()
             )
             seg_has_postings = live > 0
+        # docmap segment write: independent of the postings encode
+        # (reads only the new batches' doc registry) — run it as a
+        # concurrent job so it back-fills executors during the encode
+        # stage's tail (guide §2.6)
+        docmap_write = None
+        if seg_has_postings:
+
+            def _write_docmap():
+                docsrc = (
+                    spark.read.schema(DOCS_BATCH_SCHEMA)
+                    .parquet(
+                        *[self._p(f"docs/batch={b}") for b in new_batches]
+                    )
+                    .select("doc_id", "url", "dl")
+                )
+                if tomb is not None:
+                    # tombstoned docs never reach a NEW docmap segment
+                    # (ADVICE r4): on full re-encode (prev_ok=False /
+                    # compact) this is the physical docmap GC; on delta
+                    # refresh it keeps added-then-deleted docs out
+                    docsrc = docsrc.join(tomb, "doc_id", "left_anti")
+                docsrc.write.mode("overwrite").parquet(
+                    os.path.join(cat.path("docmap"), f"seg={seg_id}")
+                )
+
+            docmap_write = pool.submit(_write_docmap)
+
         enc_src = tf_new
         if tomb is not None:
             # docs added-then-deleted before this refresh never reach a
@@ -885,6 +944,9 @@ class CompressedIndexStream:
             seg_postings = spark.read.parquet(
                 os.path.join(cat.path("postings"), f"seg={seg_id}")
             )
+            # segment posting total rides the lineage write as an
+            # Observation — no separate read-back aggregation job
+            lobs = Observation(f"lineage_seg{seg_id}")
             (
                 seg_postings.groupBy("bucket")
                 .agg(
@@ -895,31 +957,13 @@ class CompressedIndexStream:
                     F.max("enc_ms").alias("enc_ms"),
                     F.lit(f"batches={new_batches}").alias("input_fingerprint"),
                 )
+                .observe(lobs, F.sum("n_postings").alias("np"))
                 .write.mode("overwrite")
                 .parquet(os.path.join(cat.path("lineage"), f"seg={seg_id}"))
             )
-            docsrc = (
-                spark.read.schema(DOCS_BATCH_SCHEMA)
-                .parquet(*[self._p(f"docs/batch={b}") for b in new_batches])
-                .select("doc_id", "url", "dl")
-            )
-            if tomb is not None:
-                # tombstoned docs never reach a NEW docmap segment
-                # (ADVICE r4): on full re-encode (prev_ok=False /
-                # compact) this is the physical docmap GC; on delta
-                # refresh it keeps added-then-deleted docs out
-                docsrc = docsrc.join(tomb, "doc_id", "left_anti")
-            docsrc.write.mode("overwrite").parquet(
-                os.path.join(cat.path("docmap"), f"seg={seg_id}")
-            )
-            seg_n_postings = int(
-                spark.read.parquet(
-                    os.path.join(cat.path("lineage"), f"seg={seg_id}")
-                )
-                .agg(F.sum("n_postings"))
-                .collect()[0][0]
-                or 0
-            )
+            seg_n_postings = int(lobs.get["np"] or 0)
+        if docmap_write is not None:
+            docmap_write.result()
         walls["lineage"] = time.perf_counter() - t0
 
         # a segment entry is appended ONLY when its seg dir was written
@@ -976,6 +1020,13 @@ class CompressedIndexStream:
                 .mode("overwrite")
                 .parquet(cat.path(tombstones_path))
             )
+        # commit gate: the concurrent validation job must have passed
+        # before the manifest (the atomic commit point) is written —
+        # .result() re-raises its ValueError here, leaving only
+        # uncommitted (idempotent, overwrite-safe) segment dirs behind,
+        # exactly as a pre-commit crash would
+        validation.result()
+        pool.shutdown(wait=True)
         m = Manifest(
             cfg=cfg_dict,
             input_fingerprint=f"batches:{n_batches}",
