@@ -237,6 +237,17 @@ def _pruned_postings(index, qterms: DataFrame) -> DataFrame:
     )
 
 
+def _qt_df(spark, rows: list, cols: tuple, schema: str) -> DataFrame:
+    """Driver→JVM transfer of the per-call query-term table through the
+    Arrow path: ``createDataFrame`` over a list of tuples serializes
+    row-by-row through pickle (~0.3 s per search call measured at
+    1k-row qt tables); a pandas frame rides one Arrow batch (~0.1 s).
+    Every search call pays this, so it is pure fixed-cost trim
+    (guide §6 "Arrow for driver transfers")."""
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    return spark.createDataFrame(pdf, schema)
+
+
 def _empty_result(spark) -> DataFrame:
     return spark.createDataFrame(
         [], "query_id long, doc_id long, score double, rank int"
@@ -399,6 +410,14 @@ def _partial_scores_for_batch(
         }
     )
 
+
+# dense-accumulator ceiling for the block-max group scorer: groups
+# whose doc-id range is below this score into a flat per-doc array
+# (one bincount per chunk) instead of the sorted-merge accumulator —
+# the merge (np.unique + searchsorted + insert per chunk) was ~40% of
+# group scoring time on corpora where bounds cannot prune. 2^22 docs
+# caps the array at 32 MB f64 + 4 MB seen-mask per in-flight group.
+_DENSE_ACC_MAX_DOC = 1 << 22
 
 # flush threshold for the cross-batch partial accumulator in
 # _decode_score_fn: combine is deferred until this many (query, doc)
@@ -928,40 +947,94 @@ def _bmw_group_fn(
         # constant factor of the work that was unavoidable anyway.
         chunk = max(32, k)
         pos = 0
-        while pos < order.size:
-            merge(*decode_chunk(order[pos : pos + chunk]))
-            pos += chunk
-            chunk = min(chunk * 2, 4096)
-            if acc_d.size >= k and pos < order.size:
-                if tfidf:
-                    # θ_low: k-th best certified NORMALIZED lower bound
-                    # (partial sums only grow — contributions are
-                    # nonnegative — and ‖d‖ ≤ acc_hi); suffix bounds
-                    # are already in normalized score space
-                    theta_low = float(
-                        np.partition(acc_s / acc_hi, -k)[-k]
+        # dense fast path (non-tfidf, bounded doc range): a flat per-doc
+        # score array replaces the sorted-merge accumulator — one
+        # bincount per chunk, no unique/searchsorted/insert. Same
+        # values summed per doc (f64 addition order differs below
+        # rounding granularity); same bounds, same early termination,
+        # same tie-break cut.
+        use_dense = (
+            not tfidf
+            and last_doc.size > 0
+            and int(last_doc.max()) < _DENSE_ACC_MAX_DOC
+        )
+        if use_dense:
+            size = int(last_doc.max()) + 1
+            dacc = np.zeros(size, dtype=np.float64)
+            dseen = np.zeros(size, dtype=bool)
+
+            def dmerge(dl, sl, _lol, _hil):
+                if not dl:
+                    return
+                nd = np.concatenate(dl)
+                np.add(
+                    dacc,
+                    np.bincount(
+                        nd, weights=np.concatenate(sl), minlength=size
+                    ),
+                    out=dacc,
+                )
+                dseen[nd] = True
+
+            while pos < order.size:
+                dmerge(*decode_chunk(order[pos : pos + chunk]))
+                pos += chunk
+                chunk = min(chunk * 2, 4096)
+                if pos < order.size:
+                    seen_scores = dacc[dseen]
+                    if seen_scores.size < k:
+                        continue
+                    theta_low = (
+                        np.partition(seen_scores, -k)[-k]
+                        + float(suffix_neg[pos])
                     )
                     remaining_ub = float(suffix_pos[pos])
                     if remaining_ub < theta_low:
-                        cand = acc_d[
-                            acc_s / acc_lo + remaining_ub >= theta_low
-                        ]
+                        cand = np.flatnonzero(
+                            dseen & (dacc + remaining_ub >= theta_low)
+                        )
+                        dmerge(*decode_chunk(order[pos:], doc_filter=cand))
+                        break
+            uniq = np.flatnonzero(dseen)
+            sums = dacc[uniq]
+        else:
+            while pos < order.size:
+                merge(*decode_chunk(order[pos : pos + chunk]))
+                pos += chunk
+                chunk = min(chunk * 2, 4096)
+                if acc_d.size >= k and pos < order.size:
+                    if tfidf:
+                        # θ_low: k-th best certified NORMALIZED lower
+                        # bound (partial sums only grow — contributions
+                        # are nonnegative — and ‖d‖ ≤ acc_hi); suffix
+                        # bounds are already in normalized score space
+                        theta_low = float(
+                            np.partition(acc_s / acc_hi, -k)[-k]
+                        )
+                        remaining_ub = float(suffix_pos[pos])
+                        if remaining_ub < theta_low:
+                            cand = acc_d[
+                                acc_s / acc_lo + remaining_ub >= theta_low
+                            ]
+                            merge(
+                                *decode_chunk(order[pos:], doc_filter=cand)
+                            )
+                            break
+                        continue
+                    # θ_low: ≥ k docs end with final score ≥ θ_low
+                    # (their partials can drop at most suffix_neg from
+                    # here on)
+                    theta_low = (
+                        np.partition(acc_s, -k)[-k] + float(suffix_neg[pos])
+                    )
+                    remaining_ub = float(suffix_pos[pos])
+                    if remaining_ub < theta_low:
+                        # no unseen doc can reach the final top-k;
+                        # finish exact scores for surviving candidates
+                        cand = acc_d[acc_s + remaining_ub >= theta_low]
                         merge(*decode_chunk(order[pos:], doc_filter=cand))
                         break
-                    continue
-                # θ_low: ≥ k docs end with final score ≥ θ_low (their
-                # partials can drop at most suffix_neg from here on)
-                theta_low = (
-                    np.partition(acc_s, -k)[-k] + float(suffix_neg[pos])
-                )
-                remaining_ub = float(suffix_pos[pos])
-                if remaining_ub < theta_low:
-                    # no unseen doc can reach the final top-k; finish
-                    # exact scores for surviving candidates only
-                    cand = acc_d[acc_s + remaining_ub >= theta_low]
-                    merge(*decode_chunk(order[pos:], doc_filter=cand))
-                    break
-        uniq, sums = acc_d, acc_s
+            uniq, sums = acc_d, acc_s
         pos_mask = sums > 0
         uniq, sums = uniq[pos_mask], sums[pos_mask]
         if uniq.size == 0:
@@ -1106,8 +1179,10 @@ def search_bmw(
             qt_rows += [
                 (int(r["term_id"]), -1, 0.0, 1, 0.0) for r in heavy
             ]
-        qt = index.spark.createDataFrame(
+        qt = _qt_df(
+            index.spark,
             qt_rows,
+            ("term_id", "query_id", "qtf", "n_groups", "s_t"),
             "term_id long, query_id long, qtf double, n_groups int, s_t double",
         )
         k1, b, eps, avgdl = raw_cfg[:4]
@@ -1223,8 +1298,10 @@ def search_bmw(
             qt_rows += [
                 (int(r["term_id"]), 1, -1, 0.0, 1) for r in heavy
             ]
-        qt = index.spark.createDataFrame(
+        qt = _qt_df(
+            index.spark,
             qt_rows,
+            ("term_id", "n_salts", "query_id", "qtf", "n_groups"),
             "term_id long, n_salts int, query_id long, qtf double, n_groups int",
         )
         joined = _postings_for(index, rows + (heavy or [])).join(

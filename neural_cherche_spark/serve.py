@@ -55,7 +55,7 @@ class LocalSearcher:
         serving: dict,
         manifest,
         prepared: set | None = None,
-        subgroup_cap: int = 32,
+        subgroup_cap: int = 1,
         tomb_src: str | None = None,
         cache_bytes: int = 128 << 20,
     ) -> None:
@@ -89,12 +89,25 @@ class LocalSearcher:
         else:
             self._raw_cfg = None
         # same power-of-two rounding as search_bmw (doc-disjointness
-        # needs n_groups | n_salts whenever n_salts > n_groups)
+        # needs n_groups | n_salts whenever n_salts > n_groups).
+        # DEFAULT 1 here (not the cluster's 32): subgroups exist to
+        # parallelize one query across executors, but this tier scores
+        # groups SEQUENTIALLY in-process — a split >1 only buys
+        # replicated decode of every low-salt term plus a doc_salt
+        # ownership mask over every posting (profiled at ~2x the
+        # single-group score cost). Results are identical either way
+        # (each subgroup is exact over a disjoint doc shard).
         self.subgroup_cap = 1 << (max(1, subgroup_cap).bit_length() - 1)
         # dataset handle opened once: file listing + partition
         # discovery are per-searcher, not per-query
         self._ds = ds.dataset(postings_dir, format="parquet", partitioning="hive")
         self._fields = set(self._ds.schema.names)
+        # per-searcher parquet row-group index (built lazily on first
+        # miss): footer metadata parsing was ~2/3 of every cache-miss
+        # scan wall — with it cached, a query reads ONLY the row groups
+        # whose term_id min/max overlap its terms (the builder writes
+        # term-sorted ~4 MB row groups for exactly this)
+        self._rgmap = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -102,7 +115,7 @@ class LocalSearcher:
         cls,
         index,
         queries: list[str] | None = None,
-        subgroup_cap: int = 32,
+        subgroup_cap: int = 1,
         cache_bytes: int = 128 << 20,
     ) -> "LocalSearcher":
         """Open a searcher over a ``BM25Index`` handle's artifact.
@@ -178,20 +191,62 @@ class LocalSearcher:
             else pd.concat(parts, ignore_index=True)
         )
 
+    def _rg_index(self):
+        """(fragments, seg-per-fragment, per-row-group term_id min/max
+        arrays) — parquet footers parsed ONCE per searcher. Segment
+        filtering happens here at the fragment level: only segments
+        committed by THIS manifest are indexed (an orphan seg dir from
+        a crashed refresh stays invisible — same rule as
+        BM25Index.postings)."""
+        if self._rgmap is None:
+            import pyarrow.dataset as ds
+
+            segs = (
+                {int(s["seg"]) for s in self.manifest.segments}
+                if "seg" in self._fields
+                else None
+            )
+            frags: list = []
+            fsegs: list = []
+            tmins: list = []
+            tmaxs: list = []
+            fidx: list = []
+            rgids: list = []
+            for frag in self._ds.get_fragments():
+                keys = ds.get_partition_keys(frag.partition_expression)
+                seg_val = keys.get("seg")
+                if segs is not None and int(seg_val) not in segs:
+                    continue
+                frag.ensure_complete_metadata()
+                fi = len(frags)
+                frags.append(frag)
+                fsegs.append(seg_val)
+                for rg in frag.row_groups:
+                    st = (rg.statistics or {}).get("term_id") or {}
+                    # missing stats → unbounded range (never pruned)
+                    tmins.append(int(st.get("min", -(1 << 62))))
+                    tmaxs.append(int(st.get("max", 1 << 62)))
+                    fidx.append(fi)
+                    rgids.append(rg.id)
+            self._rgmap = (
+                frags,
+                fsegs,
+                np.asarray(tmins, dtype=np.int64),
+                np.asarray(tmaxs, dtype=np.int64),
+                np.asarray(fidx, dtype=np.int64),
+                np.asarray(rgids, dtype=np.int64),
+            )
+        return self._rgmap
+
     def _scan_postings(self, rows: list) -> pd.DataFrame:
+        import pyarrow as pa
         import pyarrow.dataset as ds
 
         self.cache_misses += 1
-        buckets = sorted({int(b) for r in rows for b in r["buckets"]})
-        tids = sorted(int(r["term_id"]) for r in rows)
-        filt = ds.field("bucket").isin(buckets) & ds.field("term_id").isin(tids)
-        if "seg" in self._fields:
-            # segment-partitioned layout: read only the segments THIS
-            # manifest committed (an orphan seg dir from a crashed
-            # refresh must stay invisible — same rule as
-            # BM25Index.postings)
-            segs = [int(s["seg"]) for s in self.manifest.segments]
-            filt = filt & ds.field("seg").isin(segs)
+        frags, fsegs, tmins, tmaxs, fidx, rgids = self._rg_index()
+        tids = np.asarray(
+            sorted(int(r["term_id"]) for r in rows), dtype=np.int64
+        )
         if self.storage == "raw":
             cols = [
                 "term_id", "salt", "n_salts", "n", "first_doc",
@@ -203,10 +258,32 @@ class LocalSearcher:
                 "term_id", "salt", "n", "first_doc", "last_doc",
                 "max_w", "min_w", "docs", "ws",
             ]
-        if "seg" in self._fields:
-            cols.append("seg")  # per-posting source segment (tombmask)
-        tbl = self._ds.to_table(columns=cols, filter=filt)
-        return tbl.to_pandas()
+        # row groups whose [min, max] term range contains a queried
+        # term — smallest queried tid ≥ min must be ≤ max
+        pos = np.searchsorted(tids, tmins)
+        hit = pos < tids.size
+        hit[hit] = tids[pos[hit]] <= tmaxs[hit]
+        filt = ds.field("term_id").isin(pa.array(tids))
+        # ONE batched scan over the selected row groups: subset
+        # fragments re-wrapped as a dataset so pyarrow runs a single
+        # multithreaded scanner (a per-fragment to_table loop costs
+        # ~2 ms scanner setup × O(100) fragments per query)
+        sel_frags = []
+        for fi in np.unique(fidx[hit]):
+            sel = rgids[hit & (fidx == fi)]
+            sel_frags.append(
+                frags[int(fi)].subset(row_group_ids=[int(i) for i in sel])
+            )
+        out_cols = cols + (["seg"] if "seg" in self._fields else [])
+        if not sel_frags:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        sub_ds = ds.FileSystemDataset(
+            sel_frags,
+            schema=self._ds.schema,
+            format=self._ds.format,
+            filesystem=self._ds.filesystem,
+        )
+        return sub_ds.to_table(columns=out_cols, filter=filt).to_pandas()
 
     def search(self, queries: list[str] | str, k: int = 10) -> list:
         """Top-k per query → ``[[{"doc_id", "score", "rank"}, ...], ...]``
@@ -284,15 +361,26 @@ class LocalSearcher:
         # salted blocks map to exactly one subgroup
         salt = sub["salt"].to_numpy(dtype=np.int64)
         reps = np.where(n_salts <= n_groups, n_groups // n_salts, 1)
-        idx = np.repeat(np.arange(len(sub)), reps)
-        m = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, dtype=np.int64)
-        grp = np.where(
-            n_salts[idx] <= n_groups,
-            salt[idx] + m * n_salts[idx],
-            salt[idx] % n_groups,
-        )
-        base = sub.iloc[idx].reset_index(drop=True).copy()
-        base["qtf"] = qtf[idx]
+        if int(reps.max(initial=1)) == 1:
+            # no block replication (always the case at subgroup_cap=1):
+            # skip the expansion copy entirely
+            idx = np.arange(len(sub))
+            base = sub.reset_index(drop=True).copy()
+            base["qtf"] = qtf
+            grp = np.where(n_salts <= n_groups, salt, salt % n_groups)
+        else:
+            # vectorized within-rep counter (the per-row np.arange list
+            # comprehension here was ~0.5 s over a 48-query profile)
+            cum = np.cumsum(reps)
+            idx = np.repeat(np.arange(len(sub)), reps)
+            m = np.arange(int(cum[-1])) - np.repeat(cum - reps, reps)
+            grp = np.where(
+                n_salts[idx] <= n_groups,
+                salt[idx] + m * n_salts[idx],
+                salt[idx] % n_groups,
+            )
+            base = sub.iloc[idx].reset_index(drop=True).copy()
+            base["qtf"] = qtf[idx]
         base["grp"] = grp
         base["n_groups"] = n_groups
         base["query_id"] = 0

@@ -926,14 +926,28 @@ class CompressedIndexStream:
             )
         )
         if seg_has_postings:
+            # balanced encode: sub-shard buckets by term_id range (see
+            # index.builder.encode_shard — n_buckets distinct keys
+            # hash-collide into straggler tasks otherwise)
+            from neural_cherche_spark.index.builder import (
+                POSTINGS_ROW_GROUP_BYTES,
+                encode_shard,
+            )
+
+            shard_col, n_shards = encode_shard(spark, n_terms, n_buckets)
             (
-                salted.repartition(n_buckets, "bucket")
-                .groupBy("bucket")
+                salted.withColumn("__shard", shard_col)
+                .repartition(n_buckets * n_shards, "bucket", "__shard")
+                .groupBy("bucket", "__shard")
                 .applyInPandas(
                     _encode_bucket_raw_fn(block_size), POSTINGS_RAW_SCHEMA
                 )
                 .write.mode("overwrite")
                 .partitionBy("bucket")
+                # term-stat row-group pruning (see builder.py)
+                .option(
+                    "parquet.block.size", str(POSTINGS_ROW_GROUP_BYTES)
+                )
                 .parquet(os.path.join(cat.path("postings"), f"seg={seg_id}"))
             )
         walls["postings"] = time.perf_counter() - t0
