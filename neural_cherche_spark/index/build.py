@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from neural_cherche_spark.text.ngrams import tokenize_terms
+from neural_cherche_spark.text.ngrams import term_tf_pairs_column, tokenize_terms
 
 
 @dataclass(frozen=True)
@@ -56,12 +56,19 @@ def term_frequencies(
     n_min: int = 3,
     n_max: int = 5,
 ) -> DataFrame:
-    """(doc_id, term, tf) — reference A1 (tfidf.py:114-120)."""
-    return (
-        tokenize_terms(docs, text_col, id_col, n_min, n_max)
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    """(doc_id, term, tf) — reference A1 (tfidf.py:114-120).
+
+    Counted IN-ROW (sort + run-length over each doc's n-gram array,
+    :func:`~neural_cherche_spark.text.ngrams.term_tf_pairs_column`)
+    instead of ``explode → groupBy(doc, term)``: same rows, but the
+    plan has no (doc, term) hash aggregation or exchange and the
+    explode emits ~n_postings rows instead of ~token occurrences
+    (guide §2.3/§2.4 — measured 2× on the 100k-doc tf stage; parity
+    pinned by anti-joins both ways in tests)."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(term_tf_pairs_column(text_col, n_min, n_max)).alias("__p"),
+    ).select(id_col, F.col("__p.term").alias("term"), F.col("__p.tf").alias("tf"))
 
 
 def doc_lengths(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:

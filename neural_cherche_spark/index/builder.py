@@ -215,30 +215,55 @@ MAX_DOC_ID = (1 << 41) - 1
 POSTINGS_ROW_GROUP_BYTES = 256 << 10
 
 
-def encode_shard(spark, n_terms: int, n_buckets: int):
-    """(shard column, shard count) for the postings-encode group key.
+# postings-encode task sizing: target per-task volume in SUM-DL units
+# (token occurrences — the estimate every caller has for free: the
+# builder observes (n_docs, avgdl) and the stream ledger is additive;
+# distinct (doc, term) postings run ~2.4× fewer on the bench corpus).
+# ~1.5M dl units ≈ 600k postings ≈ a few hundred ms of vectorized
+# encode per task — large enough to amortize task overhead, small
+# enough that a 4× fleet gets 4× the waves (guide §2: derive
+# partitioning from input size, not from the executor count).
+ENCODE_DL_PER_TASK = 1_500_000
 
-    Grouping the encode by ``bucket`` alone hash-partitions n_buckets
-    DISTINCT values into ~n_buckets partitions — the guide §2.5
-    "synthetic partitioning key with too few distinct values" trap:
-    collisions give some encode tasks 2-3 whole buckets and leave
-    others empty, so the stage wall is ~3x the balanced wall (measured:
-    the encode stage was ~40% of the 100k-doc build). Sub-sharding each
-    bucket by CONTIGUOUS term_id range fixes the balance while keeping
-    every (term_id, salt) run whole (block output is bit-identical) and
-    keeping each output file a narrow term_id range, so parquet
-    row-group min/max stats stay tight for the query-side scans.
-    Shard count adapts to the session's shuffle parallelism — scale
-    config, not a local[32] constant."""
+
+def encode_layout(spark, n_terms: int, n_buckets: int, est_dl: float):
+    """(shard column, partition count) for the postings-encode stage.
+
+    Keying the stage by ``bucket`` alone hash-partitioned n_buckets
+    DISTINCT values into as many partitions (the guide §2.5 "too few
+    distinct partition keys" trap: collisions gave some tasks 2-3 whole
+    buckets and left others empty), and any scheme with #keys ==
+    #partitions re-creates it at finer grain. So:
+
+    * partition count ``P`` is VOLUME-adaptive: ~ENCODE_DL_PER_TASK of
+      input per task, floored at the session's shuffle parallelism and
+      capped at 8× it (tasks follow data splits, as on a real cluster);
+    * the shard key is (bucket, contiguous-term_id-range) with ~8 keys
+      per partition (S = ceil(8·P / n_buckets) ranges per bucket), so
+      balls-into-bins averaging balances partitions while every run
+      stays whole and every output file keeps a narrow term_id range
+      (parquet row-group min/max stats stay tight for the query scans).
+
+    The encode stays ``groupBy(keys).applyInPandas`` over the reused
+    exchange: a whole-partition ``mapInPandas`` variant was measured
+    3× SLOWER on identical rows (passthrough fn, 72.5M postings:
+    grouped-map transport 12.5 s vs mapInPandas 38-44 s at any
+    maxRecordsPerBatch — the grouped Arrow writer path is simply the
+    fast one on this runtime), so finer GROUPS with a decoupled,
+    smaller partition count is how balance is bought here.
+    """
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    g = max(1, -(-4 * parts // max(n_buckets, 1)))
-    if g <= 1 or n_terms <= 0:
-        return F.lit(0).cast("int"), 1
+    n_tasks = int(
+        min(max(parts, -(-int(est_dl) // ENCODE_DL_PER_TASK)), 8 * parts)
+    )
+    s = max(1, -(-8 * n_tasks // max(n_buckets, 1)))
+    if s <= 1 or n_terms <= 0:
+        return F.lit(0).cast("int"), n_tasks
     col = F.least(
-        F.lit(g - 1),
-        F.floor(F.col("term_id") * F.lit(g) / F.lit(int(n_terms))),
+        F.lit(s - 1),
+        F.floor(F.col("term_id") * F.lit(s) / F.lit(int(n_terms))),
     ).cast("int")
-    return col, g
+    return col, n_tasks
 
 
 def _fingerprint(docs: DataFrame, id_col: str, text_col: str, cfg_sig: str) -> str:
@@ -267,8 +292,10 @@ def _fingerprint(docs: DataFrame, id_col: str, text_col: str, cfg_sig: str) -> s
     return f"{row['n']}:{row['h']}:{cfg_sig}"
 
 
-def _encode_bucket_fn(block_size: int):
-    """applyInPandas fn: encode one bucket's (term_id, salt) runs."""
+def _encode_group_fn(block_size: int):
+    """applyInPandas fn: encode one (bucket, shard) group's (term_id,
+    salt) runs — the group key guarantees whole runs and one bucket
+    per group, so block output is bit-identical at any layout."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -307,8 +334,8 @@ def _encode_bucket_fn(block_size: int):
     return encode
 
 
-def _encode_bucket_raw_fn(block_size: int):
-    """applyInPandas fn: raw-encode one bucket's (term_id, salt) runs."""
+def _encode_group_raw_fn(block_size: int):
+    """RAW-storage twin of :func:`_encode_group_fn`."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -431,15 +458,14 @@ def build_index(
     # §2.6 — one corpus-scan's wall saved), resolved before any stage
     # needs the value. An id-range error still aborts before the
     # manifest commit.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=2)
     fp_future = None
     if manifest is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _fp_pool = ThreadPoolExecutor(max_workers=1)
-        fp_future = _fp_pool.submit(
+        fp_future = _pool.submit(
             _fingerprint, docs_keyed, "doc_id", text_col, cfg_sig
         )
-        _fp_pool.shutdown(wait=False)
         fingerprint = None
     else:
         fingerprint = _fingerprint(docs_keyed, "doc_id", text_col, cfg_sig)
@@ -456,37 +482,33 @@ def build_index(
     walls["tf"] = time.perf_counter() - t0
     tf = spark.read.parquet(cat.path("tf"))
 
-    t0 = time.perf_counter()
-    stats = None
+    pending = []
     if not cat.stage_done(manifest, "docmap", fingerprint):
-        # collection stats (n_docs over dl>0, avgdl) ride the docmap
-        # write as an Observation — the separate stats job in
-        # _finish_build is skipped. Long-exact sum_dl / n gives the
-        # same avgdl the delta path derives from its additive ledger.
-        from pyspark.sql import Observation
-
-        dobs = Observation("docmap_stats")
-        (
-            docs_keyed.select("doc_id", key_out)
-            .join(doc_lengths(tf), "doc_id", "left")
-            .na.fill({"dl": 0})
-            .observe(
-                dobs,
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
-                F.sum("dl").alias("s"),
+        # nothing downstream of the build reads docmap (dl derives
+        # from the materialized tf) — the write runs as a concurrent
+        # job back-filling executors during termdict/postings (guide
+        # §2.6); _finish_build joins it before the manifest commit.
+        # Collection stats come from a narrow agg over tf instead.
+        def _write_docmap():
+            t0 = time.perf_counter()
+            (
+                docs_keyed.select("doc_id", key_out)
+                .join(doc_lengths(tf), "doc_id", "left")
+                .na.fill({"dl": 0})
+                .write.mode("overwrite")
+                .parquet(cat.path("docmap"))
             )
-            .write.mode("overwrite")
-            .parquet(cat.path("docmap"))
-        )
-        n_live = int(dobs.get["n"] or 0)
-        stats = (n_live, (int(dobs.get["s"] or 0) / n_live) if n_live else 0.0)
-    walls["docmap"] = time.perf_counter() - t0
+            walls["docmap"] = time.perf_counter() - t0
+
+        pending.append(_pool.submit(_write_docmap))
+    # no further submissions: releases the worker threads as they finish
+    _pool.shutdown(wait=False)
     if fingerprint is None:
         fingerprint = fp_future.result()
     return _finish_build(
         spark, cat, tf, fingerprint, cfg, n_buckets, block_size,
         salt_every, manifest, walls, index_dir, weighting, storage,
-        stats=stats,
+        pending=pending,
     )
 
 
@@ -505,23 +527,28 @@ def _finish_build(
     weighting: str = "bm25",
     storage: str = "weights",
     stats: tuple[int, float] | None = None,
+    pending: list | None = None,
 ) -> "BM25Index":
-    """Stages downstream of the materialized tf + docmap tables —
-    shared by ``build_index`` and the incremental/streaming
-    materializer (streaming/compressed.py), so a stream-accumulated tf
-    produces the IDENTICAL index artifact as a from-scratch build."""
+    """Stages downstream of the materialized tf table — shared by
+    ``build_index`` and the incremental/streaming materializer
+    (streaming/compressed.py), so a stream-accumulated tf produces the
+    IDENTICAL index artifact as a from-scratch build.
+
+    ``pending``: concurrent caller-side jobs (e.g. the docmap write,
+    guide §2.6) joined — and their failures re-raised — before the
+    manifest commit."""
     from neural_cherche_spark.index.builder_weights import weights_from_tf
 
-    # doc lengths are materialized in docmap — downstream stages (stats,
-    # termdict w1, weights) reuse them instead of re-aggregating tf
-    # three times (round-1 VERDICT #6: cut build job count / passes).
-    # dl>0 filter preserves tf-derived semantics: docs with no n-grams
-    # don't count toward n_docs/avgdl (matches the exact path + oracle).
-    dl = (
-        spark.read.parquet(cat.path("docmap"))
-        .filter(F.col("dl") > 0)
-        .select("doc_id", "dl")
-    )
+    # doc lengths from the materialized tf, persisted: identical rows
+    # to the old docmap dl>0 projection (docs with no n-grams don't
+    # count toward n_docs/avgdl — matches the exact path + oracle),
+    # which frees the docmap write to run off the critical path, and
+    # the agg over tf runs ONCE for its three consumers (stats,
+    # termdict w1, postings weights) instead of once each — n_docs
+    # scalar rows, bounded at any corpus.
+    from pyspark import StorageLevel
+
+    dl = doc_lengths(tf).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stats + termdict ----------------------------------------------
     t0 = time.perf_counter()
@@ -620,9 +647,18 @@ def _finish_build(
                 .withColumn("term_norm", F.lit(1.0))
                 .withColumn("n_salts", n_salts_col)
             )
+        # persist the aggregated term table: _zip_with_index materializes
+        # it once for the key checkpoint and the payload join re-derives
+        # it at the write — without the persist the full term agg over
+        # tf ran TWICE per build (plan audit; ~2× the termdict stage on
+        # the 100k corpus). n_terms-sized rows — bounded at any corpus.
+        from pyspark import StorageLevel
+
+        ts = ts.persist(StorageLevel.MEMORY_AND_DISK)
         tcount: dict = {}
         termdict = _zip_with_index(ts, "term", "term_id", counter=tcount)
         termdict.write.mode("overwrite").parquet(cat.path("termdict"))
+        ts.unpersist()
         n_terms = int(tcount["n"])
     else:
         # stage resumed for the same fingerprint: the manifest's total
@@ -687,14 +723,14 @@ def _finish_build(
             )
             payload = ("doc_id", "tf", "dl", "n_salts")
             encode_fn, schema = (
-                _encode_bucket_raw_fn(block_size),
+                _encode_group_raw_fn(block_size),
                 POSTINGS_RAW_SCHEMA,
             )
             target = os.path.join(cat.path("postings"), "seg=0")
         elif weighting == "bm25":
             w = weights_from_tf(tf, dl, termdict, n_docs, avgdl, cfg)
             payload = ("doc_id", "w")
-            encode_fn, schema = _encode_bucket_fn(block_size), POSTINGS_SCHEMA
+            encode_fn, schema = _encode_group_fn(block_size), POSTINGS_SCHEMA
             target = cat.path("postings")
         else:
             from neural_cherche_spark.index.builder_weights import (
@@ -703,7 +739,7 @@ def _finish_build(
 
             w = tfidf_weights_from_tf(tf, termdict)
             payload = ("doc_id", "w")
-            encode_fn, schema = _encode_bucket_fn(block_size), POSTINGS_SCHEMA
+            encode_fn, schema = _encode_group_fn(block_size), POSTINGS_SCHEMA
             target = cat.path("postings")
         salted = (
             w.withColumn(
@@ -727,10 +763,12 @@ def _finish_build(
             )
             .select("bucket", "term_id", "salt", *payload)
         )
-        shard_col, n_shards = encode_shard(spark, n_terms, n_buckets)
+        shard_col, n_parts = encode_layout(
+            spark, n_terms, n_buckets, n_docs * avgdl
+        )
         (
             salted.withColumn("__shard", shard_col)
-            .repartition(n_buckets * n_shards, "bucket", "__shard")
+            .repartition(n_parts, "bucket", "__shard")
             .groupBy("bucket", "__shard")
             .applyInPandas(encode_fn, schema)
             .write.mode("overwrite")
@@ -778,6 +816,11 @@ def _finish_build(
         # fully resumed build: the manifest total is authoritative
         n_postings = int(manifest.n_postings)
     walls["lineage"] = time.perf_counter() - t0
+    dl.unpersist()
+    for f in pending or ():
+        # concurrent caller-side jobs (docmap write) must land — and
+        # their failures surface — before the manifest commit
+        f.result()
     m = Manifest(
         cfg={
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,

@@ -681,30 +681,42 @@ def _run_suffix_bounds_signed(
     For blocks i..end (processing order), a doc gains at most
     ``pos_bound[i]`` = Σ over runs of max(0, best remaining block ub)
     and loses at most ``neg_bound[i]`` = Σ over runs of
-    min(0, worst remaining block lb). One backward pass; per-run
-    dict state (groups are ≤ a few thousand blocks — Python loop cost
-    is negligible next to decode).
+    min(0, worst remaining block lb).
+
+    Vectorized (the per-block Python loop here was ~7% of serving-tier
+    query wall at ~12k blocks/query): the positive side is exactly
+    :func:`_run_suffix_bounds` (ub_pos ≥ 0 and within-run
+    non-increasing along the descending-ub processing order, so "best
+    remaining" = "first remaining"); the negative side telescopes the
+    per-run suffix minima — ``neg_bound[i] = Σ_{j≥i} (m_j − m_next(j))``
+    where ``m_j = min(0, per-run suffix min at j)`` and ``m_next(j)``
+    is the same at the run's next block (0 past the last) — one
+    groupwise reversed cummin (pandas, C-level) + one cumsum.
     """
     n = run_key.size
-    pos_bound = np.zeros(n + 1, dtype=np.float64)
+    pos_bound = _run_suffix_bounds(run_key, ub_pos)
     neg_bound = np.zeros(n + 1, dtype=np.float64)
-    best: dict[int, float] = {}
-    worst: dict[int, float] = {}
-    ps = ns = 0.0
-    for i in range(n - 1, -1, -1):
-        r = run_key[i]
-        u = ub_pos[i]
-        b = best.get(r, 0.0)
-        if u > b:
-            ps += u - b
-            best[r] = u
-        v = neg[i]
-        w = worst.get(r, 0.0)
-        if v < w:
-            ns += v - w
-            worst[r] = v
-        pos_bound[i] = ps
-        neg_bound[i] = ns
+    if n == 0:
+        return pos_bound, neg_bound
+    idx = np.arange(n)
+    by_desc = np.lexsort((-idx, run_key))  # runs grouped, position desc
+    sufmin = np.empty(n, dtype=np.float64)
+    sufmin[by_desc] = (
+        pd.Series(neg[by_desc])
+        .groupby(pd.Series(run_key[by_desc]), sort=False)
+        .cummin()
+        .to_numpy()
+    )
+    by_asc = np.lexsort((idx, run_key))
+    nxt = np.full(n, -1, dtype=np.int64)
+    same = run_key[by_asc][1:] == run_key[by_asc][:-1]
+    nxt[by_asc[:-1][same]] = by_asc[1:][same]
+    m_here = np.minimum(sufmin, 0.0)
+    m_next = np.where(
+        nxt >= 0, np.minimum(sufmin[np.maximum(nxt, 0)], 0.0), 0.0
+    )
+    delta = m_here - m_next
+    neg_bound[:-1] = np.cumsum(delta[::-1])[::-1]
     return pos_bound, neg_bound
 
 

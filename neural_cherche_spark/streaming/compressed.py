@@ -120,27 +120,44 @@ class CompressedIndexStream:
             keyed, "text", "doc_id", self.cfg.n_min, self.cfg.n_max
         ).persist(StorageLevel.MEMORY_AND_DISK)
         dl_b = doc_lengths(tf_b)
-        tf_b.join(dl_b, "doc_id").write.mode("overwrite").parquet(
-            self._p(f"tf/batch={batch_id}")
-        )
         # ledger stats ride the docs write as an Observation (guide §1:
         # a batch add is driver-job-bound at small batch sizes — this
         # was a third full job over the batch; dl>0 rows are exactly
         # the docs dl_b carries, so the observed (n, s) equal the old
         # dl_b aggregate)
         obs = Observation(f"batch_{batch_id}_stats")
-        (
-            keyed.select("doc_id", "url")
-            .join(dl_b, "doc_id", "left")
-            .na.fill({"dl": 0})
-            .observe(
-                obs,
-                F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("n"),
-                F.sum("dl").alias("s"),
+
+        # the two batch writes share only the persisted tf — run them
+        # as concurrent jobs so a small batch pays ONE job wall, not
+        # two in sequence (guide §2.6; the cache layer serializes the
+        # shared tf partitions' first computation)
+        def _w_tf():
+            tf_b.join(dl_b, "doc_id").write.mode("overwrite").parquet(
+                self._p(f"tf/batch={batch_id}")
             )
-            .write.mode("overwrite")
-            .parquet(self._p(f"docs/batch={batch_id}"))
-        )
+
+        def _w_docs():
+            (
+                keyed.select("doc_id", "url")
+                .join(dl_b, "doc_id", "left")
+                .na.fill({"dl": 0})
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("dl") > 0, 1).otherwise(0)
+                    ).alias("n"),
+                    F.sum("dl").alias("s"),
+                )
+                .write.mode("overwrite")
+                .parquet(self._p(f"docs/batch={batch_id}"))
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_w_tf), pool.submit(_w_docs)]
+            for f in futs:
+                f.result()
         srow = obs.get
         tf_b.unpersist()
 
@@ -456,7 +473,7 @@ class CompressedIndexStream:
             MAX_DOC_ID,
             POSTINGS_RAW_SCHEMA,
             BM25Index,
-            _encode_bucket_raw_fn,
+            _encode_group_raw_fn,
             _zip_with_index,
         )
 
@@ -681,10 +698,19 @@ class CompressedIndexStream:
                 .withColumn("n_salts", n_salts_col)
             )
         # STABLE term ids: existing terms keep theirs (old segments
-        # reference them on disk); new terms extend the id space
+        # reference them on disk); new terms extend the id space.
+        # The shared subtree (the term agg over the FULL accumulated tf
+        # — the one O(corpus) pass a refresh keeps) is persisted: the
+        # id-assignment checkpoint and the termdict write would
+        # otherwise each re-run it (plan audit — the agg ran 2-3× per
+        # refresh). n_terms-sized rows, bounded at any corpus.
+        from pyspark import StorageLevel
+
+        persisted = None
         if prev_ok:
             old_td = spark.read.parquet(cat.path(manifest.termdict_path))
             if frozen:
+                persisted = ts = ts.persist(StorageLevel.MEMORY_AND_DISK)
                 # old rows verbatim; only genuinely-new terms appended
                 fresh = ts.join(
                     old_td.select("term"), "term", "left_anti"
@@ -692,6 +718,9 @@ class CompressedIndexStream:
             else:
                 joined = ts.join(
                     old_td.select("term", "term_id"), "term", "left"
+                )
+                persisted = joined = joined.persist(
+                    StorageLevel.MEMORY_AND_DISK
                 )
                 known = joined.filter(F.col("term_id").isNotNull())
                 fresh = joined.filter(
@@ -711,6 +740,7 @@ class CompressedIndexStream:
                 "_r" in manifest.termdict_path
             ) else 1
         else:
+            persisted = ts = ts.persist(StorageLevel.MEMORY_AND_DISK)
             termdict = _zip_with_index(ts, "term", "term_id")
             rev = 0
         termdict_path = "termdict" if rev == 0 else f"termdict_r{rev}"
@@ -723,6 +753,8 @@ class CompressedIndexStream:
             "overwrite"
         ).parquet(cat.path(termdict_path))
         n_terms = int(tobs.get["n"] or 0)
+        if persisted is not None:
+            persisted.unpersist()
         termdict = spark.read.parquet(cat.path(termdict_path))
         walls["termdict"] = time.perf_counter() - t0
 
@@ -926,21 +958,27 @@ class CompressedIndexStream:
             )
         )
         if seg_has_postings:
-            # balanced encode: sub-shard buckets by term_id range (see
-            # index.builder.encode_shard — n_buckets distinct keys
-            # hash-collide into straggler tasks otherwise)
+            # balanced, volume-adaptive encode (index.builder
+            # encode_layout + whole-partition mapInPandas); the task
+            # count follows the NEW batches' ledger volume, so a small
+            # delta refresh runs few tasks and a bulk backfill fans out
             from neural_cherche_spark.index.builder import (
                 POSTINGS_ROW_GROUP_BYTES,
-                encode_shard,
+                encode_layout,
             )
 
-            shard_col, n_shards = encode_shard(spark, n_terms, n_buckets)
+            est_dl = sum(
+                ledger[str(b)]["sum_dl"] for b in new_batches
+            )
+            shard_col, n_parts = encode_layout(
+                spark, n_terms, n_buckets, est_dl
+            )
             (
                 salted.withColumn("__shard", shard_col)
-                .repartition(n_buckets * n_shards, "bucket", "__shard")
+                .repartition(n_parts, "bucket", "__shard")
                 .groupBy("bucket", "__shard")
                 .applyInPandas(
-                    _encode_bucket_raw_fn(block_size), POSTINGS_RAW_SCHEMA
+                    _encode_group_raw_fn(block_size), POSTINGS_RAW_SCHEMA
                 )
                 .write.mode("overwrite")
                 .partitionBy("bucket")

@@ -1,0 +1,136 @@
+"""Round-6 optimization parity pins.
+
+Every change this round is a PHYSICAL rewrite with pinned-identical
+results; these tests pin the equivalences directly:
+
+* ``term_frequencies`` — in-row sort+run-length counting must produce
+  exactly the rows of the former ``explode → groupBy(doc, term)``
+  plan (including whitespace/NULL/short-word edge docs).
+* ``encode_partition_bulk(..., bucket=...)`` — the multi-bucket
+  mapInPandas encode path relies on the per-block bucket passthrough
+  being the run's bucket.
+* the vectorized ``_run_suffix_bounds_signed`` — larger randomized
+  sweep against the brute-force spec than test_bmw_bounds carries
+  (the rewrite replaced a per-block Python loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_cherche_spark.index.build import term_frequencies
+from neural_cherche_spark.index.codec import (
+    encode_partition_bulk,
+    encode_partition_bulk_raw,
+)
+from neural_cherche_spark.query.bmw import (
+    _run_suffix_bounds,
+    _run_suffix_bounds_signed,
+)
+from neural_cherche_spark.text.ngrams import tokenize_terms
+
+
+def test_term_frequencies_matches_explode_groupby(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aaaa aaaa aaaa bbb"),
+            (3, None),
+            (4, ""),
+            (5, "ab"),  # shorter than n_min everywhere
+            (6, "  padded   whitespace\ttabs\nnewlines  "),
+            (7, "Ünïcödé CASEfold MiXeD"),
+        ],
+        "doc_id long, text string",
+    )
+    new = term_frequencies(docs, "text", "doc_id")
+    old = (
+        tokenize_terms(docs, "text", "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert new.join(old, ["doc_id", "term", "tf"], "left_anti").count() == 0
+    assert old.join(new, ["doc_id", "term", "tf"], "left_anti").count() == 0
+    # ngram window bounds respected
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in new.filter("doc_id = 2").collect()
+    }
+    assert got[(2, "aaa")] == 6 and got[(2, "aaaa")] == 3 and got[(2, "bbb")] == 1
+
+
+def test_encode_bulk_bucket_passthrough():
+    rng = np.random.RandomState(7)
+    rows = []
+    for tid in range(5):
+        for salt in range(2):
+            docs = np.sort(rng.choice(10_000, size=rng.randint(1, 300), replace=False))
+            for d in docs:
+                rows.append((tid, salt, int(d), (tid * 31 + salt * 7) % 16))
+    rows.sort()
+    tid = np.array([r[0] for r in rows], dtype=np.int64)
+    salt = np.array([r[1] for r in rows], dtype=np.int64)
+    d = np.array([r[2] for r in rows], dtype=np.int64)
+    bkt = np.array([r[3] for r in rows], dtype=np.int64)
+    w = rng.rand(len(rows)).astype(np.float32)
+
+    enc = encode_partition_bulk(tid, salt, d, w, 128, bucket=bkt)
+    # per-block bucket equals the (deterministic) run bucket
+    want = (enc["term_id"] * 31 + enc["salt"] * 7) % 16
+    np.testing.assert_array_equal(enc["bucket"], want)
+    # and the blocks themselves are unchanged vs the no-bucket call
+    plain = encode_partition_bulk(tid, salt, d, w, 128)
+    for k in ("term_id", "salt", "block_id", "n", "first_doc", "last_doc"):
+        np.testing.assert_array_equal(enc[k], plain[k])
+    assert enc["docs"] == plain["docs"] and enc["ws"] == plain["ws"]
+
+    enc_r = encode_partition_bulk_raw(
+        tid, salt, d,
+        np.ones_like(d), np.full_like(d, 9), np.full_like(d, 2),
+        128, bucket=bkt,
+    )
+    np.testing.assert_array_equal(
+        enc_r["bucket"], (enc_r["term_id"] * 31 + enc_r["salt"] * 7) % 16
+    )
+
+    # empty input keeps the bucket key
+    e = encode_partition_bulk(
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32),
+        128, bucket=np.empty(0, dtype=np.int64),
+    )
+    assert e["bucket"].size == 0
+
+
+def _brute_signed(run_key, ub_pos, neg):
+    n = run_key.size
+    pb, nb = np.zeros(n + 1), np.zeros(n + 1)
+    for i in range(n):
+        best: dict[int, float] = {}
+        worst: dict[int, float] = {}
+        for j in range(i, n):
+            best[run_key[j]] = max(best.get(run_key[j], 0.0), ub_pos[j])
+            worst[run_key[j]] = min(worst.get(run_key[j], 0.0), neg[j])
+        pb[i] = sum(best.values())
+        nb[i] = sum(worst.values())
+    return pb, nb
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_signed_suffix_bounds_vectorized_sweep(seed):
+    rng = np.random.RandomState(100 + seed)
+    n = rng.randint(1, 220)
+    run_key = rng.randint(0, max(1, n // 6), size=n).astype(np.int64)
+    ub_pos = np.maximum(rng.randn(n), 0.0)
+    neg = np.minimum(rng.randn(n), 0.0)
+    order = np.argsort(-ub_pos, kind="mergesort")
+    rk, u, v = run_key[order], ub_pos[order], neg[order]
+    gp, gn = _run_suffix_bounds_signed(rk, u, v)
+    wp, wn = _brute_signed(rk, u, v)
+    np.testing.assert_allclose(gp, wp, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(gn, wn, rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(
+        gp, _run_suffix_bounds(rk, u), rtol=1e-12, atol=1e-9
+    )
