@@ -80,6 +80,47 @@ def _query_terms(index, queries: DataFrame) -> DataFrame:
     )
 
 
+def _drop_nonpositive_queries(index, rows: list) -> list:
+    """Driver-side WAND-style whole-query prune, exact by certificate:
+    every scorer's per-posting contribution is ``qtf · w1 · idf /
+    term_norm`` with qtf ≥ 1, w1 ≥ 0 (tf-saturation > 0 plus ε ≥ 0)
+    and term_norm > 0 — so sign(max contribution of a term) =
+    sign(idf), which the driver already holds in the match rows. A
+    query whose EVERY matched term has idf ≤ 0 can only reach final
+    scores ≤ 0, and the engine's positive-score filter (T2, reference
+    tfidf.py:210-217) drops those rows — so the query's result set is
+    empty under any physical mode. Removing it HERE skips its share of
+    the postings scan, the block-row duplication in the broadcast
+    join, the shuffle, and its (query, grp) groups — the group scorer
+    only reached the same conclusion after all of that was paid
+    (``ub_pos[order[0]] <= 0`` early-exit). Common-word queries over
+    webtext hit this constantly: reference idf goes negative whenever
+    tf_total > N (bm25.py:185-190).
+
+    Inapplicable (returns rows unchanged) when ε < 0 — then w1's sign
+    is not certified. tfidf weighting has idf > 0 everywhere, so the
+    filter is a structural no-op there."""
+    if not rows:
+        return rows
+    if float(index.manifest.cfg.get("epsilon", 0.0)) < 0.0:
+        return rows
+    keep: set[int] = set()
+    for r in rows:
+        if float(r["idf"]) > 0.0:
+            for q in r["qs"]:
+                keep.add(int(q["query_id"]))
+    out = []
+    for r in rows:
+        qs = [q for q in r["qs"] if int(q["query_id"]) in keep]
+        if len(qs) == len(r["qs"]):
+            out.append(r)
+        elif qs:
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            d["qs"] = qs
+            out.append(d)
+    return out
+
+
 def _matched_terms(index, queries: DataFrame) -> list:
     """ONE driver round-trip per search call: for each matched term —
     its df, salt count, exact bucket set (same xxhash64 as the builder,
@@ -108,6 +149,7 @@ def _matched_terms(index, queries: DataFrame) -> list:
         )
         .collect()
     )
+    rows = _drop_nonpositive_queries(index, rows)
     if index.manifest.cfg.get("weighting", "bm25") != "tfidf":
         return rows
     return _tfidf_transform_rows(rows)
@@ -174,7 +216,7 @@ def serving_match_rows(index, queries: list[str]) -> list:
                 continue  # frozen vocabulary: unseen terms drop
             e = per_term.setdefault(term, dict(info, qs=[]))
             e["qs"].append({"query_id": qid, "qtf": float(qtf)})
-    rows = list(per_term.values())
+    rows = _drop_nonpositive_queries(index, list(per_term.values()))
     if cfg.get("weighting", "bm25") == "tfidf":
         rows = _tfidf_transform_rows(rows)
     return rows

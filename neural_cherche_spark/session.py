@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd beats snappy on BOTH size and read wall for this
+        # engine's tables (measured on the 100k-doc postings: 375 MB
+        # snappy / 285 MB zstd, pyarrow bucket scan 0.066 s vs
+        # 0.040 s — varint block payloads still compress, and zstd
+        # decompress is cheaper than snappy here; guide §6)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # joins: let the planner pick shuffled-hash over sort-merge when
         # the per-partition build side fits (guide §3.1) — the engine's
         # joins are id/term equi-joins where the hash build beats the

@@ -726,16 +726,26 @@ class CompressedIndexStream:
                 fresh = joined.filter(
                     F.col("term_id").isNull()
                 ).drop("term_id")
-            new_ids = _zip_with_index(
-                fresh.select("term"), "term", "__nid"
-            )
-            fresh_ids = fresh.join(new_ids, "term").withColumn(
-                "term_id", F.col("__nid") + F.lit(int(manifest.n_terms))
-            ).drop("__nid")
+            # a routine delta batch usually introduces NO new vocabulary:
+            # probing the persisted subtree costs one cheap job (it
+            # materializes the cache the id-assignment would have
+            # needed anyway) and skips _zip_with_index's checkpoint +
+            # offset-collect jobs entirely when empty — the refresh
+            # wall is job-count-bound at small batch sizes
             base = old_td if frozen else known
-            termdict = base.unionByName(
-                fresh_ids.select(*base.columns)
-            )
+            if not fresh.select("term").take(1):
+                termdict = base
+            else:
+                new_ids = _zip_with_index(
+                    fresh.select("term"), "term", "__nid"
+                )
+                fresh_ids = fresh.join(new_ids, "term").withColumn(
+                    "term_id",
+                    F.col("__nid") + F.lit(int(manifest.n_terms)),
+                ).drop("__nid")
+                termdict = base.unionByName(
+                    fresh_ids.select(*base.columns)
+                )
             rev = int(manifest.termdict_path.split("_r")[-1]) + 1 if (
                 "_r" in manifest.termdict_path
             ) else 1

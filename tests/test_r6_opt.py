@@ -104,6 +104,36 @@ def test_encode_bulk_bucket_passthrough():
     assert e["bucket"].size == 0
 
 
+class _FakeIndex:
+    def __init__(self, epsilon=0.0):
+        class M:
+            cfg = {"epsilon": epsilon}
+        self.manifest = M()
+
+
+def test_drop_nonpositive_queries():
+    from neural_cherche_spark.query.bmw import _drop_nonpositive_queries
+
+    rows = [
+        {"term_id": 1, "idf": -0.5, "qs": [
+            {"query_id": 0, "qtf": 1.0}, {"query_id": 1, "qtf": 2.0}]},
+        {"term_id": 2, "idf": 0.0, "qs": [{"query_id": 0, "qtf": 1.0}]},
+        {"term_id": 3, "idf": 0.3, "qs": [{"query_id": 1, "qtf": 1.0}]},
+    ]
+    out = _drop_nonpositive_queries(_FakeIndex(), rows)
+    # query 0 matched only idf<=0 terms -> every contribution <= 0 ->
+    # final scores <= 0 -> empty after the positive-score filter: gone
+    kept = {
+        (r["term_id"], q["query_id"]) for r in out for q in r["qs"]
+    }
+    assert kept == {(1, 1), (3, 1)}
+    # query 1 keeps its NEGATIVE term too (it shifts real candidates'
+    # scores) — only whole queries are prunable, never single terms
+    assert any(r["term_id"] == 1 for r in out)
+    # negative epsilon voids the sign certificate: no pruning
+    assert _drop_nonpositive_queries(_FakeIndex(epsilon=-1.0), rows) is rows
+
+
 def _brute_signed(run_key, ub_pos, neg):
     n = run_key.size
     pb, nb = np.zeros(n + 1), np.zeros(n + 1)
