@@ -1186,6 +1186,20 @@ def search_bmw(
         return search_distributed(index, queries, k, _rows=heavy)
     if not rows:
         return _empty_result(index.spark)
+    # the subgroup split parallelizes ONE query across executors by
+    # doc shard, at the price of replicating every low-salt term's
+    # blocks into each subgroup (extra shuffle bytes + extra decode).
+    # When the BATCH already fills the fleet — at least one query per
+    # scheduling slot — that trade is pure loss, so the split turns
+    # off and each query scores as one group (results identical: each
+    # subgroup is exact over a disjoint doc shard, and tests pin
+    # rank-equality across subgroup_cap settings).
+    n_q = len({int(q["query_id"]) for r in rows for q in r["qs"]})
+    parts = max(
+        int(index.spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    if n_q >= parts:
+        subgroup_cap = 1
     n_groups_by_q: dict[int, int] = {}
     for r in rows:
         for q in r["qs"]:

@@ -104,6 +104,43 @@ def test_encode_bulk_bucket_passthrough():
     assert e["bucket"].size == 0
 
 
+def test_lsh_band_keys_column_matches_tuple_form(spark):
+    """The composed (lambda-bound) band-key column must produce the
+    exact band keys of the withColumn-chained tuple form — the
+    oracle/batch agreement rides on these values."""
+    from neural_cherche_spark.streaming import (
+        lsh_band_key_exprs,
+        lsh_band_keys_column,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "one two three four five six seven"),
+            (3, "totally different words entirely here now"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bands_col, sh_col, sig_col, words_col = lsh_band_key_exprs(
+        "text", 3, 16, 4
+    )
+    old = (
+        docs.withColumn("__wd", words_col)
+        .withColumn("__sh", sh_col)
+        .withColumn("__sig", sig_col)
+        .select("doc_id", bands_col.alias("bk"))
+        .collect()
+    )
+    new = docs.select(
+        "doc_id", lsh_band_keys_column("text", 3, 16, 4).alias("bk")
+    ).collect()
+    assert {r["doc_id"]: r["bk"] for r in old} == {
+        r["doc_id"]: r["bk"] for r in new
+    }
+
+
 class _FakeIndex:
     def __init__(self, epsilon=0.0):
         class M:
