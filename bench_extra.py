@@ -326,6 +326,30 @@ def cmd_serving() -> None:
     spark.stop()
 
 
+def cmd_ops_sweep() -> None:
+    """Noop-time EVERY declared entry query (the operator checklist in
+    OPTIMIZATION_r06.md): `python bench_extra.py ops_sweep [sf_dir]`."""
+    import __spark_entry__ as entry_mod
+
+    spark, cpus = _spark()
+    sf_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    for name, fn in entry_mod.queries().items():
+        spark.sparkContext.setJobDescription(f"ops_sweep: {name}")
+        t0 = time.perf_counter()
+        try:
+            _noop(fn(spark, sf_dir))
+            wall = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep sweeping; report the failure
+            wall = f"ERR {type(e).__name__}: {e}"[:120]
+        print(json.dumps({name: wall}), flush=True)
+    spark.sparkContext.setJobDescription(None)
+    spark.stop()
+
+
 def cmd_profile_local() -> None:
     """cProfile the LocalSearcher single-query path on the large index
     built by cmd_serving (run `serving` first)."""
@@ -367,5 +391,7 @@ if __name__ == "__main__":
         cmd_serving()
     elif cmd == "profile_local":
         cmd_profile_local()
+    elif cmd == "ops_sweep":
+        cmd_ops_sweep()
     else:
         raise SystemExit(f"unknown command {cmd!r}")

@@ -39,7 +39,13 @@ def tfidf_weights_from_tf(
     )
     return (
         w_raw.join(doc_norm, "doc_id")
-        .withColumn("w", F.col("w_raw") / F.col("doc_norm"))
+        # float32 BEFORE the encode shuffle: the codec stores float32
+        # anyway and IEEE double→float rounding is identical on both
+        # sides, so this halves the weight column's shuffle bytes for
+        # free (guide §2.3 "narrower types")
+        .withColumn(
+            "w", (F.col("w_raw") / F.col("doc_norm")).cast("float")
+        )
         .select("term_id", "doc_id", "w", "n_salts")
     )
 
@@ -71,19 +77,26 @@ def weights_from_tf(
     return (
         tf.join(dl, "doc_id")
         .join(td, "term")
+        # float32 before the encode shuffle — identical stored values
+        # (the codec's .astype(np.float32) was the rounding point
+        # anyway; IEEE round-to-nearest either side), half the weight
+        # bytes through the exchange (guide §2.3 "narrower types")
         .withColumn(
             "w",
             (
-                F.col("tf")
-                * (cfg.k1 + 1.0)
-                / (
+                (
                     F.col("tf")
-                    + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                    * (cfg.k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + cfg.k1
+                        * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))
+                    )
+                    + F.lit(cfg.epsilon)
                 )
-                + F.lit(cfg.epsilon)
-            )
-            * F.col("idf")
-            / F.col("term_norm"),
+                * F.col("idf")
+                / F.col("term_norm")
+            ).cast("float"),
         )
         .select("term_id", "doc_id", "w", "n_salts")
     )
