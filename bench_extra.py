@@ -109,16 +109,17 @@ def cmd_plans(tag: str) -> None:
     index = build_index(
         spark, docs, idx_dir, id_col="doc_id", n_buckets=cpus, resume=False
     )
+    # plan queries: the ENTRY query set — it survives the round-6
+    # driver-side nonpositive-idf prune, so the captured plan is the
+    # real scan→group→rank machinery. The bench's corpus-derived
+    # common-word load batch now prunes WHOLE (its plan is a local
+    # empty relation — captured separately as *_pruned for evidence).
     for mode in ("bmw", "distributed", "auto"):
-        cap(f"query_{mode}", index.search(load_queries, k=10, mode=mode))
-    serving_queries = [
-        r["q"]
-        for r in docs.limit(64)
-        .select(
-            F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')").alias("q")
-        )
-        .collect()
-    ]
+        cap(f"query_{mode}", index.search(queries, k=10, mode=mode))
+    cap("query_bmw_pruned", index.search(load_queries, k=10, mode="bmw"))
+    import __spark_entry__ as entry_mod
+
+    serving_queries = [q for _, q in entry_mod.QUERY_SET]
     index.prepare_serving()
     cap("query_serving", index.search_serving(serving_queries, k=10))
     index.close()
@@ -133,7 +134,7 @@ def cmd_plans(tag: str) -> None:
     stream.materialize(delta_dir, n_buckets=cpus, storage="raw")
     stream.add_batch(docs.filter(F.col("doc_id") % 8 == 0), epoch_id=1)
     ridx = stream.materialize(delta_dir, n_buckets=cpus, storage="raw")
-    cap("query_bmw_raw", ridx.search(load_queries, k=10, mode="bmw"))
+    cap("query_bmw_raw", ridx.search(queries, k=10, mode="bmw"))
     spark.stop()
 
 
