@@ -652,20 +652,36 @@ def _finish_build(
         # it at the write — without the persist the full term agg over
         # tf ran TWICE per build (plan audit; ~2× the termdict stage on
         # the 100k corpus). n_terms-sized rows — bounded at any corpus.
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark import StorageLevel
 
         ts = ts.persist(StorageLevel.MEMORY_AND_DISK)
         tcount: dict = {}
         termdict = _zip_with_index(ts, "term", "term_id", counter=tcount)
-        termdict.write.mode("overwrite").parquet(cat.path("termdict"))
-        ts.unpersist()
+        # the downstream stages need only the termdict CONTENT (cheap
+        # to re-derive from the persisted agg + checkpointed ids) and
+        # n_terms (already known from the id-assignment offsets) — the
+        # parquet write itself runs as a concurrent job back-filling
+        # executors during docnorm/postings (guide §2.6), joined
+        # before the manifest commit. ts stays persisted until the
+        # postings stage has consumed it (released with dl below).
+        _td_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _write_termdict():
+            termdict.write.mode("overwrite").parquet(cat.path("termdict"))
+
+        pending = list(pending or ()) + [_td_pool.submit(_write_termdict)]
+        _td_pool.shutdown(wait=False)
+        shared_ts = ts
         n_terms = int(tcount["n"])
     else:
         # stage resumed for the same fingerprint: the manifest's total
         # is authoritative — no count job over the termdict
         n_terms = int(manifest.n_terms)
+        shared_ts = None
+        termdict = spark.read.parquet(cat.path("termdict"))
     walls["termdict"] = time.perf_counter() - t0
-    termdict = spark.read.parquet(cat.path("termdict"))
 
     # ---- docnorm (tfidf + raw only) -------------------------------------
     # per-doc L2 norm ‖d‖ = sqrt(Σ_t (tf·idf_t)²): raw tfidf blocks
@@ -816,11 +832,13 @@ def _finish_build(
         # fully resumed build: the manifest total is authoritative
         n_postings = int(manifest.n_postings)
     walls["lineage"] = time.perf_counter() - t0
-    dl.unpersist()
     for f in pending or ():
-        # concurrent caller-side jobs (docmap write) must land — and
+        # concurrent jobs (docmap + termdict writes) must land — and
         # their failures surface — before the manifest commit
         f.result()
+    dl.unpersist()
+    if shared_ts is not None:
+        shared_ts.unpersist()
     m = Manifest(
         cfg={
             "k1": cfg.k1, "b": cfg.b, "epsilon": cfg.epsilon,

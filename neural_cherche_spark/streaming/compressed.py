@@ -29,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from neural_cherche_spark.index.build import BM25Config, term_frequencies
@@ -582,7 +582,7 @@ class CompressedIndexStream:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(max_workers=3)
         validation = pool.submit(_validate)
 
         # exact global stats, additively (batch ledger): no corpus pass
@@ -735,9 +735,11 @@ class CompressedIndexStream:
             base = old_td if frozen else known
             if not fresh.select("term").take(1):
                 termdict = base
+                n_fresh = 0
             else:
+                fcount: dict = {}
                 new_ids = _zip_with_index(
-                    fresh.select("term"), "term", "__nid"
+                    fresh.select("term"), "term", "__nid", counter=fcount
                 )
                 fresh_ids = fresh.join(new_ids, "term").withColumn(
                     "term_id",
@@ -746,26 +748,38 @@ class CompressedIndexStream:
                 termdict = base.unionByName(
                     fresh_ids.select(*base.columns)
                 )
+                n_fresh = int(fcount["n"])
+            # n_terms without reading the written table back: frozen
+            # keeps every old row verbatim; non-frozen counts the
+            # surviving old terms over the cached subtree (narrow job)
+            n_terms = n_fresh + (
+                int(manifest.n_terms) if frozen else known.count()
+            )
             rev = int(manifest.termdict_path.split("_r")[-1]) + 1 if (
                 "_r" in manifest.termdict_path
             ) else 1
         else:
             persisted = ts = ts.persist(StorageLevel.MEMORY_AND_DISK)
-            termdict = _zip_with_index(ts, "term", "term_id")
+            tcount: dict = {}
+            termdict = _zip_with_index(
+                ts, "term", "term_id", counter=tcount
+            )
+            n_terms = int(tcount["n"])
             rev = 0
         termdict_path = "termdict" if rev == 0 else f"termdict_r{rev}"
-        # n_terms rides the write as an Observation — the separate
-        # termdict.count() job is gone (refresh wall is job-count-bound)
-        from pyspark.sql import Observation
+        # downstream stages need only the termdict CONTENT (cheap to
+        # re-derive from the persisted subtree) and n_terms (known
+        # above) — the parquet write runs as a concurrent job
+        # overlapping docnorm/postings (guide §2.6), joined at the
+        # pool barrier before the manifest commit
+        termdict_df = termdict
 
-        tobs = Observation(f"termdict_r{rev}_count")
-        termdict.observe(tobs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(cat.path(termdict_path))
-        n_terms = int(tobs.get["n"] or 0)
-        if persisted is not None:
-            persisted.unpersist()
-        termdict = spark.read.parquet(cat.path(termdict_path))
+        def _write_termdict():
+            termdict_df.write.mode("overwrite").parquet(
+                cat.path(termdict_path)
+            )
+
+        termdict_write = pool.submit(_write_termdict)
         walls["termdict"] = time.perf_counter() - t0
 
         # ---- docnorm (tfidf only): per-doc L2 norms, full rewrite ----------
@@ -1088,6 +1102,9 @@ class CompressedIndexStream:
         # uncommitted (idempotent, overwrite-safe) segment dirs behind,
         # exactly as a pre-commit crash would
         validation.result()
+        termdict_write.result()
+        if persisted is not None:
+            persisted.unpersist()
         pool.shutdown(wait=True)
         m = Manifest(
             cfg=cfg_dict,
