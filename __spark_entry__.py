@@ -758,7 +758,11 @@ def _q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_exact_dedup stream did not finish within 300 s"
+        )
     return spark.read.parquet(f"{work}/out").select(
         "doc_id", "text", "content_hash"
     )
@@ -796,7 +800,13 @@ def _q_stream_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # proceeding would read a partial/missing output dir and fail
+        # confusingly downstream (ADVICE r5) — stop and raise clearly
+        q.stop()
+        raise RuntimeError(
+            "stream_lsh_candidates stream did not finish within 600 s"
+        )
     return spark.read.parquet(f"{work}/out").select(
         "doc_id", F.col("band").cast("long").alias("band"), "dup_of"
     )

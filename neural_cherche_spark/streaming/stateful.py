@@ -45,8 +45,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-from neural_cherche_spark.text.ngrams import word_tokens_column
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -54,6 +52,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from neural_cherche_spark.text.ngrams import word_tokens_column
 
 _DEDUP_STATE_SCHEMA = StructType(
     [StructField("digests", BinaryType(), True)]
