@@ -762,6 +762,42 @@ def _run_suffix_bounds_signed(
     return pos_bound, neg_bound
 
 
+def _assemble_decoded(idx, ns, dec_cols, decode_uncached):
+    """Per-posting arrays for the blocks in ``idx`` order, taking each
+    block's arrays from the frame's pre-decoded object columns where
+    present (the serving tier's hot-term cache, serve.LocalSearcher
+    ``_decoded``) and ONE batched codec decode for the rest. Values
+    are identical to decoding everything — the cache holds exactly
+    the codec's output per block."""
+    first = dec_cols[0]
+    cached = np.fromiter(
+        (isinstance(first[i], np.ndarray) for i in idx),
+        dtype=bool,
+        count=idx.size,
+    )
+    if cached.all():
+        return tuple(
+            np.concatenate([c[i] for i in idx]) for c in dec_cols
+        )
+    if not cached.any():
+        return decode_uncached(idx)
+    unc = idx[~cached]
+    dec = decode_uncached(unc)
+    splits = np.cumsum(ns[~cached])[:-1]
+    parts = [np.split(a, splits) for a in dec]
+    out = []
+    for k, c in enumerate(dec_cols):
+        pieces, u = [], 0
+        for j, i in enumerate(idx):
+            if cached[j]:
+                pieces.append(c[i])
+            else:
+                pieces.append(parts[k][u])
+                u += 1
+        out.append(np.concatenate(pieces))
+    return tuple(out)
+
+
 def _bmw_group_fn(
     k: int,
     raw_cfg: tuple | None = None,
@@ -851,6 +887,19 @@ def _bmw_group_fn(
                 ghi = pdf["ghi"].to_numpy(dtype=np.float64) / DNORM_SCALE
         else:
             ws_col = pdf["ws"].to_numpy()
+        # serving hot-term cache: frames from serve.LocalSearcher may
+        # carry pre-decoded per-block arrays (object columns); cluster
+        # frames never do, so dd_col None keeps that path byte-identical
+        dd_col = pdf["__dd"].to_numpy() if "__dd" in pdf.columns else None
+        if dd_col is not None:
+            if raw_cfg is not None:
+                dec_cols = (
+                    dd_col,
+                    pdf["__dtf"].to_numpy(),
+                    pdf["__ddl"].to_numpy(),
+                )
+            else:
+                dec_cols = (dd_col, pdf["__dw"].to_numpy())
         # run key: salt < 2^20 (cap 1024), term_id < 2^40 → fits int64
         run_key = (
             pdf["term_id"].to_numpy(dtype=np.int64) << np.int64(20)
@@ -894,12 +943,25 @@ def _bmw_group_fn(
             ns = n_col[idx]
             nlo = nhi = None
             if raw_cfg is not None:
-                d, tfv, dlv = decode_blocks_raw_batched(
-                    [docs_col[i] for i in idx],
-                    [tfs_col[i] for i in idx],
-                    [dls_col[i] for i in idx],
-                    ns,
-                )
+                if dd_col is not None:
+                    d, tfv, dlv = _assemble_decoded(
+                        idx,
+                        ns,
+                        dec_cols,
+                        lambda u: decode_blocks_raw_batched(
+                            [docs_col[i] for i in u],
+                            [tfs_col[i] for i in u],
+                            [dls_col[i] for i in u],
+                            n_col[u],
+                        ),
+                    )
+                else:
+                    d, tfv, dlv = decode_blocks_raw_batched(
+                        [docs_col[i] for i in idx],
+                        [tfs_col[i] for i in idx],
+                        [dls_col[i] for i in idx],
+                        ns,
+                    )
                 bi = np.repeat(idx, ns)  # source block per posting
                 if tfidf:
                     # UNNORMALIZED tf·idf contribution — the exact
@@ -914,11 +976,23 @@ def _bmw_group_fn(
                     # blocks are immutable under collection growth)
                     w = bm25_w1(tfv, dlv, k1, b, avgdl, eps) * s_t[bi]
             else:
-                d, w32 = decode_blocks_batched(
-                    [docs_col[i] for i in idx],
-                    [ws_col[i] for i in idx],
-                    ns,
-                )
+                if dd_col is not None:
+                    d, w32 = _assemble_decoded(
+                        idx,
+                        ns,
+                        dec_cols,
+                        lambda u: decode_blocks_batched(
+                            [docs_col[i] for i in u],
+                            [ws_col[i] for i in u],
+                            n_col[u],
+                        ),
+                    )
+                else:
+                    d, w32 = decode_blocks_batched(
+                        [docs_col[i] for i in idx],
+                        [ws_col[i] for i in idx],
+                        ns,
+                    )
                 bi = np.repeat(idx, ns)
                 w = w32.astype(np.float64)
             w = w * qtf[bi]

@@ -159,7 +159,7 @@ class LocalSearcher:
             t = int(r["term_id"])
             if t in self._cache:
                 self._cache.move_to_end(t)
-                hits.append(self._cache[t][0])
+                hits.append(self._decoded(t))
             else:
                 misses.append(r)
         parts = list(hits)
@@ -178,10 +178,12 @@ class LocalSearcher:
                     )
                 for t, sub in fresh.groupby("term_id", sort=False):
                     nb = int(payload[sub.index].sum()) + 512
-                    self._cache[int(t)] = (sub, nb)
+                    # hit counter 0: decoded arrays attach on the
+                    # third access (see _decoded)
+                    self._cache[int(t)] = (sub, nb, 0)
                     self._cache_bytes += nb
                 while self._cache_bytes > self._cache_cap and self._cache:
-                    _, (_, nb) = self._cache.popitem(last=False)
+                    _, (_, nb, _) = self._cache.popitem(last=False)
                     self._cache_bytes -= nb
         if not parts:
             return pd.DataFrame()
@@ -190,6 +192,56 @@ class LocalSearcher:
             if len(parts) == 1
             else pd.concat(parts, ignore_index=True)
         )
+
+    def _decoded(self, t: int) -> pd.DataFrame:
+        """Cached rows of term ``t``, with pre-decoded posting arrays
+        attached on the THIRD access (two repeat hits mark the term
+        hot; decoding lazily keeps cold and lukewarm accesses exactly
+        as cheap as before — a benchmark whose terms repeat only once
+        pays nothing — and never pre-decodes blocks a rarely-seen
+        term's queries may skip).
+
+        The decoded payload rides the cached frame as object columns
+        (``__dd`` + ``__dw`` | ``__dtf``/``__ddl``) — one numpy array
+        per block row; the group scorer's decode_chunk concatenates
+        them instead of re-running the varint decode (profiled at ~18%
+        of serving wall on repeat-heavy workloads). LRU accounting
+        includes the decoded bytes."""
+        import numpy as np
+
+        from neural_cherche_spark.index.codec import (
+            decode_blocks_batched,
+            decode_blocks_raw_batched,
+        )
+
+        sub, nb, hits = self._cache[t]
+        if hits >= 2 and "__dd" not in sub.columns:
+            ns = sub["n"].to_numpy(dtype=np.int64)
+            splits = np.cumsum(ns)[:-1]
+            if self.storage == "raw":
+                d, tf, dl = decode_blocks_raw_batched(
+                    list(sub["docs"]), list(sub["tfs"]),
+                    list(sub["dls"]), ns,
+                )
+                sub = sub.copy()
+                sub["__dd"] = np.split(d, splits)
+                sub["__dtf"] = np.split(tf, splits)
+                sub["__ddl"] = np.split(dl, splits)
+                extra = d.nbytes + tf.nbytes + dl.nbytes
+            else:
+                d, w = decode_blocks_batched(list(sub["docs"]), list(sub["ws"]), ns)
+                sub = sub.copy()
+                sub["__dd"] = np.split(d, splits)
+                sub["__dw"] = np.split(w, splits)
+                extra = d.nbytes + w.nbytes
+            self._cache[t] = (sub, nb + extra, hits + 1)
+            self._cache_bytes += extra
+            while self._cache_bytes > self._cache_cap and self._cache:
+                _, (_, nbe, _) = self._cache.popitem(last=False)
+                self._cache_bytes -= nbe
+        else:
+            self._cache[t] = (sub, nb, hits + 1)
+        return sub
 
     def _rg_index(self):
         """(fragments, seg-per-fragment, per-row-group term_id min/max

@@ -171,6 +171,52 @@ def test_drop_nonpositive_queries():
     assert _drop_nonpositive_queries(_FakeIndex(epsilon=-1.0), rows) is rows
 
 
+def test_local_searcher_decoded_cache_parity(spark, tmp_path):
+    """The hot-term decoded-array cache (serve.LocalSearcher._decoded +
+    bmw._assemble_decoded) must return byte-identical results on the
+    1st (raw bytes), 2nd (marks hot), and 3rd+ (pre-decoded) access,
+    for weights AND raw storage, and match the Spark serving path."""
+    from neural_cherche_spark.data import synth_webtext
+    from neural_cherche_spark.index.builder import build_index
+    from neural_cherche_spark.serve import LocalSearcher
+
+    docs = synth_webtext(spark, 120, seed=13).select("url", "text")
+    texts = [
+        r["text"].split()[0] + " " + r["text"].split()[1]
+        for r in docs.limit(6).collect()
+    ]
+    for storage in ("weights", "raw"):
+        idx_dir = str(tmp_path / f"idx_{storage}")
+        index = build_index(
+            spark, docs, idx_dir, id_col=None, n_buckets=4,
+            resume=False, storage=storage,
+        )
+        index.prepare_serving()
+        want = {}
+        for qt in texts:
+            rows = index.search_serving([qt], k=5).collect()
+            want[qt] = [
+                (r["doc_id"], round(r["score"], 9), r["rank"]) for r in rows
+            ]
+        srv = LocalSearcher.from_index(index)
+        passes = []
+        for _ in range(3):
+            got = {
+                qt: [
+                    (x["doc_id"], round(x["score"], 9), x["rank"])
+                    for x in srv.search(qt, k=5)
+                ]
+                for qt in texts
+            }
+            passes.append(got)
+        assert passes[0] == passes[1] == passes[2] == want, storage
+        # the third pass actually exercised the decoded path
+        assert any(
+            "__dd" in e[0].columns for e in srv._cache.values()
+        ), storage
+        index.close()
+
+
 def _brute_signed(run_key, ub_pos, neg):
     n = run_key.size
     pb, nb = np.zeros(n + 1), np.zeros(n + 1)
